@@ -1,0 +1,26 @@
+"""bwamem_tpu — a TPU-native short-read seed-and-extend aligner.
+
+A ground-up re-design of the capabilities of sflorescu/BWA-MEM_GPU
+(bwa-gasal2: GPU-seeded, GPU-extended BWA-MEM 0.7.x) for TPU hardware:
+
+  * FMD-index SMEM seeding as batched, fixed-shape XLA programs
+    (reference: src/GPUSeed/seed_gen.cu)
+  * banded affine-gap seed extension as a Pallas TPU kernel with
+    ksw_extend semantics (reference contract: src/bwamem.c:1791-1908
+    `decoy_cpu_align` / src/ksw.c `ksw_extend2`)
+  * chaining / filtering / dedup / primary-marking / mapQ / CIGAR / SAM
+    (reference: src/bwamem.c, src/bwa.c)
+  * data-parallel scaling via jax.sharding over a device Mesh
+    (replaces the reference's pthread pool, src/kthread.c)
+
+Layout:
+  index/     offline index toolchain + device-layout loader
+  oracle/    pure-NumPy reference semantics (test anchors)
+  ops/       jitted + Pallas device kernels (seeding, extension)
+  pipeline/  host orchestration: chain, merge, SAM emit
+  parallel/  mesh sharding of the alignment step
+  io/        FASTA/FASTQ reading, SAM writing
+  models/    end-to-end aligner configurations ("flagship" = MemAligner)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,165 @@
+"""Offline FMD-index construction.
+
+Pipeline (mirrors `bwa index` capability, reference bwa_index/bwtindex.c:288
+bwa_idx_build, rebuilt from first principles):
+
+  FASTA -> forward codes (N -> seeded-random base, amb runs recorded)
+        -> T = fwd || revcomp(fwd)
+        -> suffix array (native SA-IS or NumPy doubling)
+        -> BWT (+ primary), occ checkpoint blocks
+        -> text-position sampled SA (bitmap + rank checkpoints)
+        -> FMIndex (.npz)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.dna import encode, pack_2bit
+from .format import Annotation, FMIndex, OCC_BLOCK_BASES, SSA_BLOCK_ROWS
+from .suffix_array import suffix_array
+
+
+def read_fasta(path: str) -> list[tuple[str, np.ndarray]]:
+    """Parse FASTA into [(name, codes)] with codes in 0..4."""
+    out: list[tuple[str, np.ndarray]] = []
+    name = None
+    chunks: list[bytes] = []
+    with open(path, "rb") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(b">"):
+                if name is not None:
+                    out.append((name, encode(b"".join(chunks))))
+                name = line[1:].split()[0].decode()
+                chunks = []
+            else:
+                chunks.append(line)
+    if name is not None:
+        out.append((name, encode(b"".join(chunks))))
+    return out
+
+
+def _amb_runs(codes: np.ndarray, offset: int) -> list[tuple[int, int]]:
+    amb = codes >= 4
+    if not amb.any():
+        return []
+    d = np.diff(amb.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if amb[0]:
+        starts = np.concatenate([[0], starts])
+    if amb[-1]:
+        ends = np.concatenate([ends, [len(codes)]])
+    return [(int(offset + s), int(e - s)) for s, e in zip(starts, ends)]
+
+
+def build_index(
+    fasta_path: str,
+    sa_intv: int = 8,
+    rng_seed: int = 11,
+) -> FMIndex:
+    seqs = read_fasta(fasta_path)
+    if not seqs:
+        raise ValueError(f"no sequences in {fasta_path}")
+    names, lengths, offsets, ambs = [], [], [], []
+    parts = []
+    off = 0
+    rng = np.random.default_rng(rng_seed)
+    for name, codes in seqs:
+        names.append(name)
+        lengths.append(len(codes))
+        offsets.append(off)
+        ambs.extend(_amb_runs(codes, off))
+        amb_mask = codes >= 4
+        if amb_mask.any():
+            codes = codes.copy()
+            codes[amb_mask] = rng.integers(0, 4, amb_mask.sum(), dtype=np.uint8)
+        parts.append(codes)
+        off += len(codes)
+    fwd = np.concatenate(parts).astype(np.uint8)
+    ann = Annotation(names=names, lengths=lengths, offsets=offsets, ambs=ambs)
+    return build_index_from_codes(fwd, ann, sa_intv=sa_intv)
+
+
+def build_index_from_codes(
+    fwd: np.ndarray, ann: Annotation, sa_intv: int = 8
+) -> FMIndex:
+    """Build from an unambiguous 0..3 coded forward genome."""
+    fwd = np.asarray(fwd, dtype=np.uint8)
+    if fwd.max(initial=0) > 3:
+        raise ValueError("forward genome must be unambiguous (0..3)")
+    l_pac = len(fwd)
+    if 2 * l_pac + 1 >= 2**31:
+        raise NotImplementedError(
+            "genomes with 2*l_pac >= 2^31 need the split-word position "
+            "scheme (not yet implemented)"
+        )
+    T = np.concatenate([fwd, (3 - fwd)[::-1]]).astype(np.uint8)
+    seq_len = len(T)
+
+    sa = suffix_array(T)  # seq_len rows, sentinel row excluded
+    # Conceptual SA over T$ : row 0 is the sentinel suffix (value seq_len).
+    primary = int(np.flatnonzero(sa == 0)[0]) + 1
+
+    # BWT over T$ with the sentinel row removed (bwa convention).
+    # BWT$[r] = T[SA$[r]-1]; at r=0, SA$[0]=seq_len -> T[seq_len-1].
+    bwt_full = np.empty(seq_len + 1, dtype=np.uint8)
+    bwt_full[0] = T[seq_len - 1]
+    bwt_full[1:] = T[(sa - 1) % seq_len]  # value at primary row is bogus ($)
+    B = np.delete(bwt_full, primary)
+
+    counts = np.bincount(B, minlength=4)[:4]
+    L2 = np.zeros(5, dtype=np.int64)
+    L2[1:] = np.cumsum(counts)
+
+    # occ checkpoint blocks
+    n_blocks = (seq_len + OCC_BLOCK_BASES - 1) // OCC_BLOCK_BASES
+    Bp = np.zeros(n_blocks * OCC_BLOCK_BASES, dtype=np.uint8)
+    Bp[:seq_len] = B
+    one_hot = (Bp.reshape(n_blocks, OCC_BLOCK_BASES)[:, :, None]
+               == np.arange(4)[None, None, :])
+    per_block = one_hot.sum(axis=1).astype(np.int64)
+    # counts before each block; padding bases (code 0) in the last block are
+    # harmless because queries never exceed seq_len.
+    cum = np.zeros((n_blocks, 4), dtype=np.int64)
+    cum[1:] = np.cumsum(per_block, axis=0)[:-1]
+    occ_blocks = np.empty((n_blocks, 8), dtype=np.uint32)
+    occ_blocks[:, :4] = cum.astype(np.uint32)
+    occ_blocks[:, 4:] = pack_2bit(Bp).reshape(n_blocks, 4)
+
+    # text-position sampled SA over the (seq_len+1)-row conceptual SA
+    sa_full = np.empty(seq_len + 1, dtype=np.int64)
+    sa_full[0] = seq_len
+    sa_full[1:] = sa
+    sampled = (sa_full % sa_intv) == 0
+    n_sblocks = (seq_len + 1 + SSA_BLOCK_ROWS - 1) // SSA_BLOCK_ROWS
+    bits = np.zeros(n_sblocks * SSA_BLOCK_ROWS, dtype=bool)
+    bits[: seq_len + 1] = sampled
+    bits = bits.reshape(n_sblocks, SSA_BLOCK_ROWS)
+    per_block_rank = bits.sum(axis=1).astype(np.int64)
+    rank_before = np.zeros(n_sblocks, dtype=np.int64)
+    rank_before[1:] = np.cumsum(per_block_rank)[:-1]
+    weights_lo = (1 << np.arange(32, dtype=np.uint64))
+    bits_lo = (bits[:, :32].astype(np.uint64) * weights_lo).sum(axis=1)
+    bits_hi = (bits[:, 32:].astype(np.uint64) * weights_lo).sum(axis=1)
+    ssa_blocks = np.empty((n_sblocks, 4), dtype=np.uint32)
+    ssa_blocks[:, 0] = rank_before.astype(np.uint32)
+    ssa_blocks[:, 1] = bits_lo.astype(np.uint32)
+    ssa_blocks[:, 2] = bits_hi.astype(np.uint32)
+    ssa_blocks[:, 3] = 0
+    ssa_vals = sa_full[sampled].astype(np.uint32)
+
+    return FMIndex(
+        l_pac=l_pac,
+        seq_len=seq_len,
+        primary=primary,
+        sa_intv=sa_intv,
+        L2=L2,
+        occ_blocks=occ_blocks,
+        ssa_blocks=ssa_blocks,
+        ssa_vals=ssa_vals,
+        pac_words=pack_2bit(fwd),
+        ann=ann,
+    )
