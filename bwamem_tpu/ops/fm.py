@@ -1,0 +1,149 @@
+"""Batched FM-index primitives on device: occ, bi-interval extension, LF,
+SA lookup.
+
+TPU-native re-expression of the reference's GPU FM machinery
+(reference: src/GPUSeed/seed_gen.cu:57-272 pop_count/bwt_occ_gpu/
+find_occ4_gpu, :607-663 locate_seeds_gpu): rank queries are one 32-byte
+row gather (occ checkpoint + 64 packed bases) followed by masked 2-bit
+popcounts on the VPU; the SA walk is a fixed-trip LF loop bounded by the
+text-position sampling interval (see index/format.py).
+
+All functions are written for scalar ints and vmapped — XLA batches the
+gathers. Positions/counts are int32 (seq_len < 2^31 enforced at build).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..index.device import DeviceFMIndex
+
+# mask_table[r] = uint32 mask keeping the top 2*r bits (bases 0..r-1 of a word)
+_MASK_TABLE = [0] + [
+    (0xFFFFFFFF << (32 - 2 * r)) & 0xFFFFFFFF for r in range(1, 17)
+]
+# 2-bit code c replicated 16x
+_PAT = [0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF]
+
+
+def _count_codes_masked(words, r):
+    """Count occurrences of each 2-bit code among the first `r` bases of a
+    4-word (64-base) group. words: (4,) int32; r: scalar int32 in [0, 64].
+    Returns (4,) int32."""
+    mask_table = jnp.asarray(_MASK_TABLE, dtype=jnp.uint32)
+    w = words.astype(jnp.uint32)  # (4,)
+    r_w = jnp.clip(r - 16 * jnp.arange(4, dtype=jnp.int32), 0, 16)
+    masks = mask_table[r_w]  # (4,)
+    pats = jnp.asarray(_PAT, dtype=jnp.uint32)  # (4,)
+    x = w[None, :] ^ pats[:, None]          # (code, word)
+    y = ~x
+    pairs = y & (y >> 1) & jnp.uint32(0x55555555)
+    pairs = pairs & masks[None, :]
+    return jax.lax.population_count(pairs).sum(axis=1).astype(jnp.int32)
+
+
+def occ4(fm: DeviceFMIndex, i):
+    """Counts of bases 0..3 in BWT$[0:i] (sentinel excluded). i: int32
+    scalar in [0, seq_len+1]."""
+    j = i - (i > fm.primary).astype(jnp.int32)
+    blk = j >> 6
+    r = j & 63
+    row = fm.occ_blocks[blk]  # (8,)
+    base_cnt = row[:4]
+    return base_cnt + _count_codes_masked(row[4:], r)
+
+
+def occ1(fm: DeviceFMIndex, i, c):
+    """Count of base c in BWT$[0:i]."""
+    return occ4(fm, i)[c]
+
+
+def bwt_char(fm: DeviceFMIndex, row):
+    """BWT$ symbol at `row` (0..3; caller handles row == primary)."""
+    j = row - (row > fm.primary).astype(jnp.int32)
+    blk = j >> 6
+    r = j & 63
+    w = fm.occ_blocks[blk, 4 + (r >> 4)].astype(jnp.uint32)
+    return ((w >> (30 - 2 * (r & 15))) & 3).astype(jnp.int32)
+
+
+def lf(fm: DeviceFMIndex, row):
+    """LF mapping over BWT$ rows; LF(primary) = 0."""
+    c = bwt_char(fm, row)
+    dest = fm.L2[c] + 1 + occ1(fm, row, c)
+    return jnp.where(row == fm.primary, jnp.int32(0), dest)
+
+
+def backward_ext4(fm: DeviceFMIndex, k, l, s):
+    """All four backward extensions of bi-interval (k, l, s).
+    Returns (k4, l4, s4), each (4,) int32, index = prepended base."""
+    ok = occ4(fm, k)
+    ol = occ4(fm, k + s)
+    cnt = ol - ok
+    cnt_sent = jnp.logical_and(k <= fm.primary, fm.primary < k + s)
+    cnt_sent = cnt_sent.astype(jnp.int32)
+    k4 = fm.L2[:4] + 1 + ok
+    s4 = cnt
+    # l'(c) = l + cnt_sent + sum_{b > c} cnt[b]
+    suffix = jnp.cumsum(cnt[::-1])[::-1] - cnt  # sum of cnt[c+1:]
+    l4 = l + cnt_sent + suffix
+    return k4, l4, s4
+
+
+def forward_ext4(fm: DeviceFMIndex, k, l, s):
+    """All four forward extensions (append base b). Returns (k4, l4, s4),
+    index = appended base."""
+    bk4, bl4, bs4 = backward_ext4(fm, l, k, s)
+    # appended base b corresponds to prepending comp(b) on the revcomp side
+    return bl4[::-1], bk4[::-1], bs4[::-1]
+
+
+def set_intv(fm: DeviceFMIndex, c):
+    """Initial bi-interval of single base c (c in 0..3)."""
+    k = fm.L2[c] + 1
+    l = fm.L2[3 - c] + 1
+    s = fm.L2[c + 1] - fm.L2[c]
+    return k, l, s
+
+
+def sa_lookup(fm: DeviceFMIndex, row):
+    """SA$[row] via a fixed-trip LF walk to a text-position-sampled row.
+    Bounded by sa_intv steps (sampling by SA value guarantees it)."""
+
+    def sampled_rank(r):
+        blk = r >> 6
+        off = r & 63
+        b = fm.ssa_blocks[blk]
+        lo = b[1].astype(jnp.uint32)
+        hi = b[2].astype(jnp.uint32)
+        word = jnp.where(off < 32, lo, hi)
+        bit = (word >> (off & 31).astype(jnp.uint32)) & 1
+        below_lo = lo & ((jnp.uint32(1) << jnp.clip(off, 0, 31).astype(jnp.uint32)) - 1)
+        below_lo = jnp.where(off >= 32, lo, below_lo)
+        below_hi = jnp.where(
+            off > 32,
+            hi & ((jnp.uint32(1) << jnp.clip(off - 32, 0, 31).astype(jnp.uint32)) - 1),
+            jnp.uint32(0),
+        )
+        rank = (
+            b[0]
+            + jax.lax.population_count(below_lo).astype(jnp.int32)
+            + jax.lax.population_count(below_hi).astype(jnp.int32)
+        )
+        return bit.astype(jnp.int32), rank
+
+    def body(step, carry):
+        r, val, done = carry
+        is_samp, rank = sampled_rank(r)
+        hit = jnp.logical_and(is_samp == 1, jnp.logical_not(done))
+        val = jnp.where(hit, fm.ssa_vals[rank] + step, val)
+        done = jnp.logical_or(done, hit)
+        r_next = jnp.where(done, r, lf(fm, r))
+        return r_next, val, done
+
+    _, val, _ = jax.lax.fori_loop(
+        0, fm.sa_intv, body, (row, jnp.int32(0), jnp.bool_(False))
+    )
+    return val
