@@ -114,8 +114,10 @@ def build_index_from_codes(
     L2 = np.zeros(5, dtype=np.int64)
     L2[1:] = np.cumsum(counts)
 
-    # occ checkpoint blocks
-    n_blocks = (seq_len + OCC_BLOCK_BASES - 1) // OCC_BLOCK_BASES
+    # occ checkpoint blocks; one extra terminal block so that queries at
+    # row seq_len(+1) stay in range when seq_len is a multiple of the
+    # block size (occ4 may be evaluated at interval end = seq_len + 1)
+    n_blocks = (seq_len + OCC_BLOCK_BASES - 1) // OCC_BLOCK_BASES + 1
     Bp = np.zeros(n_blocks * OCC_BLOCK_BASES, dtype=np.uint8)
     Bp[:seq_len] = B
     one_hot = (Bp.reshape(n_blocks, OCC_BLOCK_BASES)[:, :, None]

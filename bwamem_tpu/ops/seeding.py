@@ -167,7 +167,9 @@ def _expand_occurrences(fm, qbeg, qend, k, s, keep, max_seeds, max_occ):
     B, C = qbeg.shape
     s_v = jnp.where(keep, s, 0)
     step = jnp.where(s_v > max_occ, s_v // max_occ, 1)
+    # reference loop: k < n_occ AND count < max_occ (src/bwamem.c:426-431)
     count = jnp.where(s_v > 0, (s_v + step - 1) // step, 0)
+    count = jnp.minimum(count, max_occ)
     cum = jnp.cumsum(count, axis=1)  # inclusive
     total = cum[:, -1]
     cum_excl = cum - count

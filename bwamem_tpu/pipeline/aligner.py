@@ -1,0 +1,327 @@
+"""End-to-end single-end alignment: the TPU-native mem_align1_core.
+
+Orchestration (reference: src/bwamem.c:1918-2342 mem_align1_core +
+:1170-1479 mem_chain2aln, re-architected for TPU):
+
+  device:  batched SMEM seeding over the whole read batch (ops/seeding)
+  host:    chaining + chain filtering (pipeline/chain)
+  host:    extension-job construction with the fork's estimated-extent
+           contained-seed test (FILTER_COEF logic)
+  device:  ONE batched extension launch per length bucket (ops/extend) —
+           replaces the reference's SHORT/LONG double-buffered CUDA streams;
+           bucketing by query length keeps padding waste low
+  host:    L/R merge (score = L + R - seedlen when two-sided), dedup/patch,
+           primary marking, mapQ, CIGAR, SAM text
+
+The independent left/right extensions with h0 = seed length and the merge
+rule follow the fork (reference: src/bwamem.c:2296-2305), not vanilla BWA's
+chained left-then-right extension.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.device import DeviceFMIndex
+from ..index.format import FMIndex
+from ..ops.extend import ExtendParams, end_choice, extend_batch
+from ..ops.seeding import SeedConfig, smem_seed_batch
+from .chain import Chain, mem_chain, mem_chain_flt
+from .options import FILTER_COEF, MemOptions, MEM_F_ALL, MEM_F_NO_MULTI, cal_max_gap
+from .regions import AlnReg, mem_mark_primary_se, mem_sort_dedup_patch
+from .samgen import MemAln, mem_aln2sam, mem_gen_alt, mem_reg2aln
+
+LEFT, RIGHT = 0, 1
+INT_MAX = 1 << 30
+
+
+@dataclass
+class ExtJob:
+    query: np.ndarray
+    target: np.ndarray
+    h0: int
+    reg: AlnReg
+    side: int
+
+
+def chain2aln_jobs(opt: MemOptions, idx: FMIndex, l_query: int,
+                   query: np.ndarray, c: Chain, regs: list[AlnReg],
+                   jobs: list[ExtJob]) -> None:
+    """Build alignment regions + extension jobs for one chain
+    (reference: src/bwamem.c:1170-1479 mem_chain2aln)."""
+    if not c.seeds:
+        return
+    l_pac = idx.l_pac
+    rmax0, rmax1 = l_pac << 1, 0
+    for t in c.seeds:
+        b = t.rbeg - (t.qbeg + cal_max_gap(opt, t.qbeg))
+        e = (t.rbeg + t.len
+             + (l_query - t.qbeg - t.len)
+             + cal_max_gap(opt, l_query - t.qbeg - t.len))
+        rmax0 = min(rmax0, b)
+        rmax1 = max(rmax1, e)
+    rmax0 = max(rmax0, 0)
+    rmax1 = min(rmax1, l_pac << 1)
+    if rmax0 < l_pac < rmax1:  # crossing the boundary; choose one side
+        if c.seeds[0].rbeg < l_pac:
+            rmax1 = l_pac
+        else:
+            rmax0 = l_pac
+    rmax0, rmax1, rseq = idx.fetch_seq(rmax0, rmax1, mid=c.seeds[0].rbeg)
+
+    # process seeds best-score-first (ties: later index first)
+    srt = sorted(range(len(c.seeds)),
+                 key=lambda i: (c.seeds[i].score, i))
+    skipped = [False] * len(c.seeds)
+    for k in range(len(srt) - 1, -1, -1):
+        s = c.seeds[srt[k]]
+        # contained-in-existing-alignment test on ESTIMATED extents
+        hit = -1
+        for idx_p, p in enumerate(regs):
+            if (s.rbeg < p.rb_est or s.rbeg + s.len > p.re_est
+                    or s.qbeg < p.qb_est or s.qbeg + s.len > p.qe_est):
+                continue
+            if s.len - p.seedlen0 > 0.1 * l_query:
+                continue
+            qd, rd = s.qbeg - p.qb_est, s.rbeg - p.rb_est
+            w = min(cal_max_gap(opt, min(qd, rd)), p.w)
+            if qd - rd < w and rd - qd < w:
+                hit = idx_p
+                break
+            qd = p.qe_est - (s.qbeg + s.len)
+            rd = p.re_est - (s.rbeg + s.len)
+            w = min(cal_max_gap(opt, min(qd, rd)), p.w)
+            if qd - rd < w and rd - qd < w:
+                hit = idx_p
+                break
+        if hit >= 0:
+            # contained: only extend if an overlapping seed disagrees
+            disagree = False
+            for i2 in range(k + 1, len(srt)):
+                if skipped[srt[i2]]:
+                    continue
+                t = c.seeds[srt[i2]]
+                if t.len < s.len * 0.95:
+                    continue
+                if (s.qbeg <= t.qbeg
+                        and s.qbeg + s.len - t.qbeg >= s.len >> 2
+                        and t.qbeg - s.qbeg != t.rbeg - s.rbeg):
+                    disagree = True
+                    break
+                if (t.qbeg <= s.qbeg
+                        and t.qbeg + t.len - s.qbeg >= s.len >> 2
+                        and s.qbeg - t.qbeg != s.rbeg - t.rbeg):
+                    disagree = True
+                    break
+            if not disagree:
+                skipped[srt[k]] = True
+                continue
+
+        a = AlnReg(w=opt.w, score=-1, truesc=-1, rid=c.rid,
+                   frac_rep=c.frac_rep, is_alt=c.is_alt)
+        # estimated extents (fork FILTER_COEF logic, src/bwamem.c:1284-1298)
+        fwd = int(FILTER_COEF * (l_query - (s.qbeg + s.len)))
+        a.qe_est = min(s.qbeg + s.len + fwd, l_query)
+        a.re_est = min(s.rbeg + s.len + fwd, l_pac << 1)
+        back = int(FILTER_COEF * (s.qbeg + 1))
+        a.qb_est = max(s.qbeg - back, 0)
+        a.rb_est = max(s.rbeg - back, 0)
+        if a.rb_est < l_pac < a.re_est:
+            if s.rbeg < l_pac:
+                a.re_est = l_pac
+            else:
+                a.rb_est = l_pac
+        a.seedlen0 = s.len
+        a.query_seed_begin = s.qbeg
+        a.target_seed_begin = s.rbeg
+        a._chain_seeds = c.seeds  # for post-merge seedcov
+
+        lql = s.qbeg
+        lrl = s.rbeg - rmax0
+        rql = l_query - (lql + s.len)
+        rrl = (rmax1 - rmax0) - (lrl + s.len)
+        h0 = s.len * opt.a
+        if lql > 0:
+            jobs.append(ExtJob(
+                query=query[:lql][::-1].copy(),
+                target=rseq[:lrl][::-1].copy(),
+                h0=h0, reg=a, side=LEFT))
+        if rql > 0:
+            jobs.append(ExtJob(
+                query=query[lql + s.len:].copy(),
+                target=rseq[lrl + s.len:].copy(),
+                h0=h0, reg=a, side=RIGHT))
+        a.align_sides = (lql > 0) + (rql > 0)
+        if a.align_sides == 0:  # seed spans the whole read
+            a.score = a.truesc = s.score
+            a.qb, a.qe = 0, l_query
+            a.rb, a.re = s.rbeg, s.rbeg + s.len
+            a.seedcov = sum(
+                t.len for t in c.seeds
+                if (t.qbeg >= a.qb and t.qbeg + t.len <= a.qe
+                    and t.rbeg >= a.rb and t.rbeg + t.len <= a.re))
+        regs.append(a)
+
+
+def run_extension_jobs(fm_params: ExtendParams, mat: np.ndarray,
+                       jobs: list[ExtJob], pen_clip: int,
+                       bucket_bounds=(64, 192, 1 << 30)) -> None:
+    """Execute all jobs on device, bucketed by query length (the
+    generalization of the reference's SHORT/LONG split,
+    src/bntseq.h:85-99), then scatter chosen (score, qle, tle) into
+    reg.part[side]."""
+    if not jobs:
+        return
+    buckets: dict[int, list[ExtJob]] = {}
+    for j in jobs:
+        for b in bucket_bounds:
+            if len(j.query) <= b:
+                buckets.setdefault(b, []).append(j)
+                break
+    for sub in buckets.values():
+        QMAX = max(16, -(-max(len(j.query) for j in sub) // 16) * 16)
+        TMAX = max(16, -(-max(len(j.target) for j in sub) // 16) * 16)
+        N = len(sub)
+        Q = np.full((N, QMAX), 4, np.int32)
+        T = np.full((N, TMAX), 4, np.int32)
+        ql = np.zeros(N, np.int32)
+        tl = np.zeros(N, np.int32)
+        h0 = np.zeros(N, np.int32)
+        for i, j in enumerate(sub):
+            Q[i, : len(j.query)] = j.query
+            T[i, : len(j.target)] = j.target
+            ql[i], tl[i], h0[i] = len(j.query), len(j.target), j.h0
+        out = extend_batch(jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql),
+                           jnp.asarray(tl), jnp.asarray(h0),
+                           jnp.asarray(mat), fm_params)
+        sc, qe, te = end_choice(out["score"], out["qle"], out["tle"],
+                                out["gscore"], out["gtle"], jnp.asarray(ql),
+                                pen_clip)
+        sc, qe, te = np.asarray(sc), np.asarray(qe), np.asarray(te)
+        for i, j in enumerate(sub):
+            j.reg.part[j.side] = [int(sc[i]), int(qe[i]), int(te[i])]
+
+
+def merge_extension_results(l_query: int, regs: list[AlnReg]) -> None:
+    """L/R merge (reference: src/bwamem.c:2296-2311) + post-merge seedcov
+    (vanilla-style; the fork leaves seedcov 0 for extended regions, which
+    only matters for the non-default mapQ_coef_len=0 formula)."""
+    for a in regs:
+        if a.align_sides > 0:
+            a.score = a.part[LEFT][0] + a.part[RIGHT][0]
+            if a.align_sides == 2:
+                a.score -= a.seedlen0
+            a.qb = a.query_seed_begin - a.part[LEFT][1]
+            a.qe = a.query_seed_begin + a.seedlen0 + a.part[RIGHT][1]
+            a.rb = a.target_seed_begin - a.part[LEFT][2]
+            a.re = a.target_seed_begin + a.seedlen0 + a.part[RIGHT][2]
+            a.truesc = a.score
+            seeds = getattr(a, "_chain_seeds", [])
+            a.seedcov = sum(
+                t.len for t in seeds
+                if (t.qbeg >= a.qb and t.qbeg + t.len <= a.qe
+                    and t.rbeg >= a.rb and t.rbeg + t.len <= a.re))
+
+
+def mem_reg2sam(opt: MemOptions, idx: FMIndex, name: str, seq: np.ndarray,
+                qual, regs: list[AlnReg], extra_flag: int = 0,
+                mate: MemAln | None = None, rg_id=None) -> list[str]:
+    """reference: src/bwamem.c:1721-1775."""
+    XA = None
+    if not (opt.flag & MEM_F_ALL):
+        XA = mem_gen_alt(opt, idx, regs, len(seq), seq)
+    alns: list[MemAln] = []
+    for k, p in enumerate(regs):
+        if p.score < opt.T:
+            continue
+        if p.secondary >= 0 and (p.is_alt or not (opt.flag & MEM_F_ALL)):
+            continue
+        if (0 <= p.secondary < INT_MAX
+                and p.score < regs[p.secondary].score * opt.drop_ratio):
+            continue
+        q = mem_reg2aln(opt, idx, len(seq), seq, p)
+        q.XA = XA[k] if XA else None
+        q.flag |= extra_flag
+        if p.secondary >= 0:
+            q.sub = -1
+        if alns and p.secondary < 0:
+            q.flag |= 0x10000 if (opt.flag & MEM_F_NO_MULTI) else 0x800
+        if alns and not p.is_alt and q.mapq > alns[0].mapq:
+            q.mapq = alns[0].mapq
+        alns.append(q)
+    if not alns:
+        t = mem_reg2aln(opt, idx, len(seq), seq, None)
+        t.flag |= extra_flag
+        return [mem_aln2sam(opt, idx, name, seq, qual, 1, [t], 0, mate,
+                            rg_id=rg_id)]
+    return [mem_aln2sam(opt, idx, name, seq, qual, len(alns), alns, k, mate,
+                        rg_id=rg_id)
+            for k in range(len(alns))]
+
+
+class MemAligner:
+    """The flagship end-to-end model: index in HBM, batched device stages,
+    host post-processing. Single-end in v1."""
+
+    def __init__(self, opt: MemOptions, idx: FMIndex,
+                 fm: DeviceFMIndex | None = None,
+                 seed_cfg: SeedConfig | None = None):
+        self.opt = opt
+        self.idx = idx
+        self.fm = fm or DeviceFMIndex.from_host(idx)
+        self.seed_cfg = seed_cfg or SeedConfig(
+            min_seed_len=opt.min_seed_len, max_occ=opt.max_occ)
+        self.ext_params = ExtendParams(
+            o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+            e_ins=opt.e_ins, w=opt.w, zdrop=opt.zdrop,
+            end_bonus=opt.pen_clip5, opt_ext=False, max_mat=opt.a)
+
+    def seed_batch(self, seqs: list[np.ndarray]):
+        B = len(seqs)
+        L = max(16, -(-max(len(s) for s in seqs) // 16) * 16)
+        reads = np.full((B, L), 4, np.int32)
+        lens = np.zeros(B, np.int32)
+        for i, s in enumerate(seqs):
+            reads[i, : len(s)] = s
+            lens[i] = len(s)
+        out = smem_seed_batch(self.fm, jnp.asarray(reads), jnp.asarray(lens),
+                              self.seed_cfg)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def align_batch(self, names: list[str], seqs: list[np.ndarray],
+                    quals: list[str | None] | None = None,
+                    n_processed: int = 0) -> list[str]:
+        """Returns SAM lines (one or more per read, input order)."""
+        opt, idx = self.opt, self.idx
+        quals = quals or [None] * len(seqs)
+        seeds = self.seed_batch(seqs)
+
+        per_read_regs: list[list[AlnReg]] = []
+        jobs: list[ExtJob] = []
+        for b, seq in enumerate(seqs):
+            nv = int(seeds["n_seeds"][b])
+            seed_list = [
+                (int(seeds["qbeg"][b, t]), int(seeds["qend"][b, t]),
+                 int(seeds["rbeg"][b, t]), int(seeds["n_occ"][b, t]))
+                for t in range(nv)
+            ]
+            chains = mem_chain(opt, idx, len(seq), seed_list)
+            chains = mem_chain_flt(opt, chains)
+            regs: list[AlnReg] = []
+            for c in chains:
+                chain2aln_jobs(opt, idx, len(seq), seq, c, regs, jobs)
+            per_read_regs.append(regs)
+
+        run_extension_jobs(self.ext_params, opt.mat, jobs, opt.pen_clip5)
+
+        out_lines: list[str] = []
+        for b, seq in enumerate(seqs):
+            regs = per_read_regs[b]
+            merge_extension_results(len(seq), regs)
+            regs = mem_sort_dedup_patch(opt, idx, seq, regs)
+            regs, _ = mem_mark_primary_se(opt, regs, n_processed + b)
+            out_lines.extend(
+                mem_reg2sam(opt, idx, names[b], seq, quals[b], regs))
+        return out_lines
