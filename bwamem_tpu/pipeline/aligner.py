@@ -276,7 +276,7 @@ class MemAligner:
         self.ext_params = ExtendParams(
             o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
             e_ins=opt.e_ins, w=opt.w, zdrop=opt.zdrop,
-            end_bonus=opt.pen_clip5, opt_ext=False, max_mat=opt.a)
+            end_bonus=opt.pen_clip5, opt_ext=opt.opt_ext, max_mat=opt.a)
 
     def seed_batch(self, seqs: list[np.ndarray]):
         B = len(seqs)

@@ -65,6 +65,12 @@ class MemOptions:
     mapQ_coef_len: int = 50
     flag: int = 0
     n_threads: int = 1
+    opt_ext: bool = False      # fork decoy passes opt_ext=0 (src/bwamem.c:1891)
+
+    @classmethod
+    def vanilla(cls) -> "MemOptions":
+        """Vanilla bwa-mem 0.7.x defaults (for golden-SAM comparison)."""
+        return cls(w=100, zdrop=100, opt_ext=True)
 
     @property
     def mapQ_coef_fac(self) -> float:
