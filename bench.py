@@ -1,0 +1,85 @@
+"""Benchmark: device alignment throughput (seeding + extension) per chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Measures the fused device alignment step (the two stages the reference
+offloads to GPU: GPUSeed seeding + GASAL2 extension) on an E. coli-scale
+random genome with 150 bp reads at 1% substitution error.
+
+vs_baseline: BASELINE.json publishes no absolute numbers; the reference
+README's single-thread end-to-end speedup is 6.8-8.7x over bwa-mem on a
+2080 Ti. We normalize against 50,000 reads/s per chip, a 2080 Ti-class
+seed+extend throughput estimate for this read profile (so 1.0 ~= GPU
+parity per chip).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_S = 50_000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from bwamem_tpu.index.build import build_index_from_codes
+    from bwamem_tpu.index.device import DeviceFMIndex
+    from bwamem_tpu.index.format import Annotation
+    from bwamem_tpu.models.mem import AlignStepConfig, device_align_step
+
+    rng = np.random.default_rng(12345)
+    genome_len = 4_600_000  # E. coli scale
+    read_len = 150
+    batch = 8192
+
+    g = rng.integers(0, 4, genome_len, dtype=np.uint8)
+    ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
+    idx = build_index_from_codes(g, ann, sa_intv=8)
+    fm = DeviceFMIndex.from_host(idx)
+
+    pos = rng.integers(0, genome_len - read_len, batch)
+    reads = np.empty((batch, read_len), np.int32)
+    for i in range(batch):
+        r = g[pos[i] : pos[i] + read_len].copy()
+        err = rng.random(read_len) < 0.01
+        r[err] = (r[err] + 1 + rng.integers(0, 3, err.sum())) % 4
+        if i % 2:
+            r = (3 - r)[::-1]
+        reads[i] = r
+    lens = np.full(batch, read_len, np.int32)
+
+    cfg = AlignStepConfig()
+    reads_j = jnp.asarray(reads)
+    lens_j = jnp.asarray(lens)
+
+    # warmup / compile
+    out = device_align_step(fm, reads_j, lens_j, cfg)
+    jax.block_until_ready(out)
+
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = device_align_step(fm, reads_j, lens_j, cfg)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    reads_per_s = batch / dt
+    aligned = float(np.mean(np.asarray(out["score"]) > 100))
+    result = {
+        "metric": "device_align_reads_per_s",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s/chip",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+    }
+    # sanity: the step must actually be aligning
+    assert aligned > 0.95, f"only {aligned:.2%} of reads aligned"
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Command-line interface.
+
+Mirrors the reference binary's live subcommands (reference:
+src/main.c:99-111 — `index` and `gase_aln`): here `index` and `align`
+(`gase_aln` accepted as an alias), with the alignment flags that matter
+(reference: src/fastmap.c:166-346 getopt loop / usage text).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from . import __version__
+
+
+def _add_align_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("index_prefix")
+    p.add_argument("reads", help="FASTA/FASTQ query file")
+    p.add_argument("mates", nargs="?", default=None,
+                   help="mate FASTA/FASTQ for paired-end")
+    p.add_argument("-t", type=int, default=1, dest="n_threads",
+                   help="host worker threads")
+    p.add_argument("-k", type=int, default=19, dest="min_seed_len")
+    p.add_argument("-w", type=int, default=300, dest="band_width")
+    p.add_argument("-A", type=int, default=1, dest="match")
+    p.add_argument("-B", type=int, default=4, dest="mismatch")
+    p.add_argument("-O", default="6,6", dest="gap_open")
+    p.add_argument("-E", default="1,1", dest="gap_ext")
+    p.add_argument("-L", default="5,5", dest="clip_pen")
+    p.add_argument("-T", type=int, default=30, dest="min_score")
+    p.add_argument("-d", type=int, default=0, dest="zdrop")
+    p.add_argument("-c", type=int, default=500, dest="max_occ")
+    p.add_argument("-K", type=int, default=10_000_000, dest="chunk_size")
+    p.add_argument("-a", action="store_true", dest="all_alignments",
+                   help="output all alignments (SE only)")
+    p.add_argument("-M", action="store_true", dest="mark_short_split")
+    p.add_argument("-S", action="store_true", dest="skip_pairing")
+    p.add_argument("-Y", action="store_true", dest="softclip_supp")
+    p.add_argument("-R", default=None, dest="rg_line",
+                   help="read group header line such as '@RG\\tID:foo'")
+    p.add_argument("-v", type=int, default=3, dest="verbosity")
+    p.add_argument("-f", default=None, dest="timing_file",
+                   help="append a timing TSV row to this file")
+    p.add_argument("-o", default=None, dest="output")
+    p.add_argument("--vanilla", action="store_true",
+                   help="vanilla bwa-mem defaults (w=100, zdrop=100)")
+    p.add_argument("--seed-cands", type=int, default=64)
+    p.add_argument("--seed-cap", type=int, default=160)
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    ap = argparse.ArgumentParser(
+        prog="bwamem-tpu",
+        description="TPU-native BWA-MEM-class short-read aligner",
+    )
+    ap.add_argument("--version", action="version", version=__version__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build the FMD index")
+    pi.add_argument("fasta")
+    pi.add_argument("-p", default=None, dest="prefix",
+                    help="index prefix [fasta path]")
+    pi.add_argument("-r", type=int, default=8, dest="sa_intv",
+                    help="suffix-array sampling interval (power of 2)")
+
+    for name in ("align", "gase_aln", "mem"):
+        pa = sub.add_parser(name, help="align reads (single-end or paired)")
+        _add_align_args(pa)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "index":
+        return cmd_index(args)
+    return cmd_align(args)
+
+
+def cmd_index(args) -> int:
+    from .index.build import build_index
+
+    t0 = time.perf_counter()
+    idx = build_index(args.fasta, sa_intv=args.sa_intv)
+    prefix = args.prefix or args.fasta
+    idx.save(prefix + ".bmt")
+    print(
+        f"[bwamem-tpu] indexed {idx.l_pac} bp "
+        f"({len(idx.ann.names)} sequences) in "
+        f"{time.perf_counter() - t0:.1f}s -> {prefix}.bmt.npz",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _sam_header(idx, rg_line: str | None, cmdline: str) -> list[str]:
+    """reference: src/bwa.c:389 bwa_print_sam_hdr."""
+    lines = [
+        f"@SQ\tSN:{n}\tLN:{l}"
+        for n, l in zip(idx.ann.names, idx.ann.lengths)
+    ]
+    if rg_line:
+        lines.append(rg_line.replace("\\t", "\t"))
+    lines.append(
+        f"@PG\tID:bwamem-tpu\tPN:bwamem-tpu\tVN:{__version__}\tCL:{cmdline}"
+    )
+    return lines
+
+
+def cmd_align(args) -> int:
+    from .index.format import FMIndex
+    from .io.fastx import read_fastx
+    from .pipeline.aligner import MemAligner
+    from .pipeline.options import MemOptions, MEM_F_ALL, MEM_F_PE, MEM_F_SOFTCLIP
+    from .pipeline.runtime import run_pipeline
+    from .ops.seeding import SeedConfig
+    from .utils.timing import Timings
+
+    opt = MemOptions.vanilla() if args.vanilla else MemOptions()
+    opt.min_seed_len = args.min_seed_len
+    opt.w = args.band_width if not args.vanilla or args.band_width != 300 \
+        else opt.w
+    opt.a = args.match
+    opt.b = args.mismatch
+
+    def _pair(v):
+        parts = str(v).split(",")
+        return (int(parts[0]), int(parts[1] if len(parts) > 1 else parts[0]))
+
+    opt.o_del, opt.o_ins = _pair(args.gap_open)
+    opt.e_del, opt.e_ins = _pair(args.gap_ext)
+    opt.pen_clip5, opt.pen_clip3 = _pair(args.clip_pen)
+    opt.T = args.min_score
+    opt.zdrop = args.zdrop
+    opt.max_occ = args.max_occ
+    opt.chunk_size = args.chunk_size
+    if args.all_alignments:
+        opt.flag |= MEM_F_ALL
+    if args.softclip_supp:
+        opt.flag |= MEM_F_SOFTCLIP
+    paired = args.mates is not None
+    if paired:
+        opt.flag |= MEM_F_PE
+
+    rg_id = None
+    if args.rg_line:
+        for f in args.rg_line.replace("\\t", "\t").split("\t"):
+            if f.startswith("ID:"):
+                rg_id = f[3:]
+
+    idx = FMIndex.load(args.index_prefix + ".bmt")
+    seed_cfg = SeedConfig(min_seed_len=opt.min_seed_len,
+                          max_candidates=args.seed_cands,
+                          max_seeds=args.seed_cap, max_occ=opt.max_occ)
+    aligner = MemAligner(opt, idx, seed_cfg=seed_cfg)
+    if paired:
+        from .pipeline.paired import PairedAligner
+        from .io.fastx import read_fastx as _rf
+
+        aligner = PairedAligner(aligner)
+        records = _interleave(read_fastx(args.reads), read_fastx(args.mates))
+    else:
+        records = read_fastx(args.reads)
+
+    out = open(args.output, "w") if args.output else sys.stdout
+    timings = Timings()
+    cmdline = "bwamem-tpu " + " ".join(sys.argv[1:])
+    for line in _sam_header(idx, args.rg_line, cmdline):
+        out.write(line + "\n")
+    n = run_pipeline(records, aligner,
+                     opt.chunk_size * max(args.n_threads, 1), out,
+                     timings=timings, paired=paired)
+    print(f"[bwamem-tpu] done: {n} reads", file=sys.stderr)
+    if args.verbosity >= 3:
+        print(timings.report(), file=sys.stderr)
+    if args.timing_file:
+        timings.append_tsv(args.timing_file, n_threads=args.n_threads,
+                           min_seed_len=opt.min_seed_len, n_reads=n)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+def _interleave(it1, it2):
+    for a, b in zip(it1, it2):
+        yield a
+        yield b
+
+
+if __name__ == "__main__":
+    sys.exit(main())

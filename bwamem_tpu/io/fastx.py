@@ -1,0 +1,82 @@
+"""FASTA/FASTQ reading and chunking.
+
+Equivalent of the reference's bseq_read + kseq (reference: src/bwa.c:42
+bseq_read, src/kseq.h), including the chunk-size policy: read records until
+the accumulated base count passes chunk_size (actual_chunk_size =
+chunk_size * n_threads, reference src/fastmap.c:62-67).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from ..utils.dna import encode
+
+
+@dataclass
+class SeqRecord:
+    name: str
+    seq: np.ndarray          # 0..4 codes
+    qual: str | None = None
+    comment: str | None = None
+
+
+def read_fastx(path: str) -> Iterator[SeqRecord]:
+    """Streaming FASTA/FASTQ parser (plain or name only; qualities kept
+    as ASCII strings)."""
+    with open(path, "rb") as f:
+        first = f.peek(1)[:1] if hasattr(f, "peek") else b""
+        is_fastq = first == b"@"
+        if is_fastq:
+            while True:
+                hdr = f.readline()
+                if not hdr:
+                    return
+                seq = f.readline().strip()
+                f.readline()  # +
+                qual = f.readline().strip()
+                parts = hdr[1:].strip().split(None, 1)
+                yield SeqRecord(
+                    name=parts[0].decode(),
+                    seq=encode(seq),
+                    qual=qual.decode(),
+                    comment=parts[1].decode() if len(parts) > 1 else None,
+                )
+        else:
+            name = None
+            comment = None
+            chunks: list[bytes] = []
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith(b">"):
+                    if name is not None:
+                        yield SeqRecord(name, encode(b"".join(chunks)),
+                                        None, comment)
+                    parts = line[1:].split(None, 1)
+                    name = parts[0].decode()
+                    comment = parts[1].decode() if len(parts) > 1 else None
+                    chunks = []
+                else:
+                    chunks.append(line)
+            if name is not None:
+                yield SeqRecord(name, encode(b"".join(chunks)), None, comment)
+
+
+def chunk_records(records: Iterator[SeqRecord],
+                  chunk_bases: int) -> Iterator[list[SeqRecord]]:
+    """Group records into chunks of ~chunk_bases total bases (the
+    reference reads one extra record past the threshold; we stop at it)."""
+    batch: list[SeqRecord] = []
+    size = 0
+    for rec in records:
+        batch.append(rec)
+        size += len(rec.seq)
+        if size >= chunk_bases:
+            yield batch
+            batch, size = [], 0
+    if batch:
+        yield batch

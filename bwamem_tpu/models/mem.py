@@ -1,0 +1,118 @@
+"""The flagship model: a fully-on-device alignment step.
+
+`device_align_step` fuses the two offloaded stages of the reference (the
+GPUSeed seeding call and the GASAL2 extension launches, reference:
+src/fastmap.c:460 + src/bwamem.c:2127) into ONE jittable program:
+
+  reads -> batched SMEM seeding -> best-seed selection -> on-device
+  reference-window gathers -> batched left/right ksw-extend -> merged
+  alignment coordinates + scores.
+
+This is the "direct extension" fast path (single best seed per read); the
+full pipeline in pipeline/aligner.py inserts host chaining/filtering
+between the two stages for BWA-parity output. The step is pure device
+work, so it is also the unit that parallel/sharded.py maps over a Mesh.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..index.device import DeviceFMIndex
+from ..ops.extend import ExtendParams, end_choice, extend_batch, make_score_matrix
+from ..ops.refgather import gather_bases
+from ..ops.seeding import SeedConfig, smem_seed_batch
+
+
+@dataclass(frozen=True)
+class AlignStepConfig:
+    seed: SeedConfig = SeedConfig()
+    ext: ExtendParams = ExtendParams()
+    a: int = 1
+    b: int = 4
+    pen_clip: int = 5
+    pad: int = 32   # extra reference bases beyond the unseeded read span
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def device_align_step(fm: DeviceFMIndex, reads, lens,
+                      cfg: AlignStepConfig = AlignStepConfig()):
+    """reads: (B, L) int32 codes; lens: (B,).
+
+    Returns per-read dict: score, qb, qe, rb, re, n_seeds plus the raw
+    seed arrays. All shapes static; jit/shard_map friendly.
+    """
+    B, L = reads.shape
+    reads = reads.astype(jnp.int32)
+    lens = lens.astype(jnp.int32)
+    seeds = smem_seed_batch(fm, reads, lens, cfg.seed)
+
+    # best seed per read = longest (ties -> leftmost)
+    slen = jnp.where(seeds["valid"], seeds["qend"] - seeds["qbeg"], -1)
+    best = jnp.argmax(slen, axis=1).astype(jnp.int32)
+    take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
+    qbeg = take(seeds["qbeg"])
+    qend = take(seeds["qend"])
+    rbeg = take(seeds["rbeg"])
+    has_seed = take(seeds["valid"])
+    seedlen = jnp.where(has_seed, qend - qbeg, 0)
+
+    # left extension: reversed query prefix vs reversed ref window
+    PAD = cfg.pad
+    TL = L + PAD  # static target window length per side
+    lq_len = jnp.where(has_seed, qbeg, 0)
+    lt_len = jnp.minimum(rbeg, lq_len + PAD)
+    # reversed windows: element j = position (start-1-j)
+    offs = jnp.arange(L, dtype=jnp.int32)[None, :]
+    lq = jnp.take_along_axis(
+        reads, jnp.clip(qbeg[:, None] - 1 - offs, 0, L - 1), axis=1)
+    lq = jnp.where(offs < lq_len[:, None], lq, 4)
+    lt_offs = jnp.arange(TL, dtype=jnp.int32)[None, :]
+    lt = gather_bases(fm, rbeg[:, None] - 1 - lt_offs)
+    lt = jnp.where(lt_offs < lt_len[:, None], lt, 4)
+
+    # right extension: query suffix vs forward ref window
+    rq_len = jnp.where(has_seed, lens - qend, 0)
+    rq = jnp.take_along_axis(
+        reads, jnp.clip(qend[:, None] + offs, 0, L - 1), axis=1)
+    rq = jnp.where(offs < rq_len[:, None], rq, 4)
+    rt_end_cap = 2 * fm.l_pac
+    rt_len = jnp.minimum(rq_len + PAD, rt_end_cap - (rbeg + seedlen))
+    rt = gather_bases(fm, (rbeg + seedlen)[:, None] + lt_offs)
+    rt = jnp.where(lt_offs < rt_len[:, None], rt, 4)
+
+    mat = jnp.asarray(make_score_matrix(cfg.a, cfg.b))
+    h0 = jnp.maximum(seedlen * cfg.a, 1)
+
+    def run_side(q, t, ql, tl):
+        out = extend_batch(q, t, ql, tl, h0, mat, cfg.ext)
+        return end_choice(out["score"], out["qle"], out["tle"],
+                          out["gscore"], out["gtle"], ql, cfg.pen_clip)
+
+    lsc, lqe, lte = run_side(lq, lt, lq_len, lt_len)
+    rsc, rqe, rte = run_side(rq, rt, rq_len, rt_len)
+
+    two_sided = jnp.logical_and(lq_len > 0, rq_len > 0)
+    score = jnp.where(
+        lq_len > 0, lsc, 0) + jnp.where(rq_len > 0, rsc, 0) \
+        - jnp.where(two_sided, seedlen, 0)
+    score = jnp.where(
+        jnp.logical_and(lq_len == 0, rq_len == 0),
+        seedlen * cfg.a, score)
+    score = jnp.where(has_seed, score, -1)
+    lqe = jnp.where(lq_len > 0, lqe, 0)
+    lte = jnp.where(lq_len > 0, lte, 0)
+    rqe = jnp.where(rq_len > 0, rqe, 0)
+    rte = jnp.where(rq_len > 0, rte, 0)
+    return dict(
+        score=score,
+        qb=qbeg - lqe,
+        qe=qend + rqe,
+        rb=rbeg - lte,
+        re=rbeg + seedlen + rte,
+        has_seed=has_seed,
+        n_seeds=seeds["n_seeds"],
+    )

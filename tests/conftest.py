@@ -5,12 +5,16 @@ validate multi-chip sharding with xla_force_host_platform_device_count.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the preset axon platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # env alone loses to the axon plugin
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
