@@ -45,8 +45,10 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-o", default=None, dest="output")
     p.add_argument("--vanilla", action="store_true",
                    help="vanilla bwa-mem defaults (w=100, zdrop=100)")
-    p.add_argument("--seed-cands", type=int, default=64)
-    p.add_argument("--seed-cap", type=int, default=160)
+    p.add_argument("--seed-cands", type=int, default=24,
+                   help="candidate pool slots per read")
+    p.add_argument("--seed-cap", type=int, default=24,
+                   help="expanded-seed pool slots per read")
 
 
 def main(argv=None) -> int:
@@ -149,8 +151,8 @@ def cmd_align(args) -> int:
 
     idx = FMIndex.load(args.index_prefix + ".bmt")
     seed_cfg = SeedConfig(min_seed_len=opt.min_seed_len,
-                          max_candidates=args.seed_cands,
-                          max_seeds=args.seed_cap, max_occ=opt.max_occ)
+                          cand_pool=args.seed_cands,
+                          seed_pool=args.seed_cap, max_occ=opt.max_occ)
     aligner = MemAligner(opt, idx, seed_cfg=seed_cfg)
     if paired:
         from .pipeline.paired import PairedAligner

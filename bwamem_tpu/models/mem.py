@@ -50,14 +50,22 @@ def device_align_step(fm: DeviceFMIndex, reads, lens,
     lens = lens.astype(jnp.int32)
     seeds = smem_seed_batch(fm, reads, lens, cfg.seed)
 
-    # best seed per read = longest (ties -> leftmost)
-    slen = jnp.where(seeds["valid"], seeds["qend"] - seeds["qbeg"], -1)
-    best = jnp.argmax(slen, axis=1).astype(jnp.int32)
-    take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
-    qbeg = take(seeds["qbeg"])
-    qend = take(seeds["qend"])
-    rbeg = take(seeds["rbeg"])
-    has_seed = take(seeds["valid"])
+    # best seed per read = longest (ties -> leftmost pool slot), via a
+    # segment max over the flat seed pool
+    P = seeds["qbeg"].shape[0]
+    slen = jnp.where(seeds["valid"], seeds["qend"] - seeds["qbeg"], 0)
+    t_ids = jnp.arange(P, dtype=jnp.int32)
+    key = slen * P + (P - 1 - t_ids)
+    seg = jnp.where(seeds["valid"], seeds["read_id"], B)
+    best_key = jax.ops.segment_max(
+        key, seg, num_segments=B + 1, indices_are_sorted=True)[:B]
+    has_seed = best_key > 0
+    best_key = jnp.maximum(best_key, 0)
+    best = (P - 1) - (best_key % P)
+    take = lambda a: a[best]
+    qbeg = jnp.where(has_seed, take(seeds["qbeg"]), 0)
+    qend = jnp.where(has_seed, take(seeds["qend"]), 0)
+    rbeg = jnp.where(has_seed, take(seeds["rbeg"]), 0)
     seedlen = jnp.where(has_seed, qend - qbeg, 0)
 
     # left extension: reversed query prefix vs reversed ref window

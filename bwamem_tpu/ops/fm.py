@@ -56,8 +56,22 @@ def occ4(fm: DeviceFMIndex, i):
 
 
 def occ1(fm: DeviceFMIndex, i, c):
-    """Count of base c in BWT$[0:i]."""
-    return occ4(fm, i)[c]
+    """Count of base c in BWT$[0:i] — single-code fast path (4x less
+    popcount work than occ4; the backward walk and SA walk only ever need
+    one code)."""
+    mask_table = jnp.asarray(_MASK_TABLE, dtype=jnp.uint32)
+    pats = jnp.asarray(_PAT, dtype=jnp.uint32)
+    j = i - (i > fm.primary).astype(jnp.int32)
+    blk = j >> 6
+    r = j & 63
+    row = fm.occ_blocks[blk]
+    w = row[4:].astype(jnp.uint32)
+    r_w = jnp.clip(r - 16 * jnp.arange(4, dtype=jnp.int32), 0, 16)
+    x = w ^ pats[c]
+    y = ~x
+    pairs = y & (y >> 1) & jnp.uint32(0x55555555)
+    pairs = pairs & mask_table[r_w]
+    return row[c] + jax.lax.population_count(pairs).sum().astype(jnp.int32)
 
 
 def bwt_char(fm: DeviceFMIndex, row):
@@ -74,6 +88,15 @@ def lf(fm: DeviceFMIndex, row):
     c = bwt_char(fm, row)
     dest = fm.L2[c] + 1 + occ1(fm, row, c)
     return jnp.where(row == fm.primary, jnp.int32(0), dest)
+
+
+def backward_ext_ks(fm: DeviceFMIndex, k, s, c):
+    """Backward extension of the k-side interval only (prepend base c).
+    The l-side is not maintained — sufficient for the backward SMEM walk,
+    whose output (k, s) feeds SA lookups and occurrence counts."""
+    ok = occ1(fm, k, c)
+    ol = occ1(fm, k + s, c)
+    return fm.L2[c] + 1 + ok, ol - ok
 
 
 def backward_ext4(fm: DeviceFMIndex, k, l, s):

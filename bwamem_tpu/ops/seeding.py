@@ -11,21 +11,24 @@ fixed-shape XLA programs:
     including shrink-to-zero, ambiguous bases and the read end (the
     reference restarts its walk at the failing position; we do the same via
     the restart branch).
-  compaction: candidates -> fixed capacity per read via a stable argsort on
-    the emit flag (replaces CUB DeviceSelect::Flagged).
-  pass 2 (backward): masked while_loop extending every candidate maximally
-    to the left (replaces the per-thread walk + warp-shuffle dedup).
-  containment filter: a candidate is an SMEM iff its qbeg is strictly less
-    than every later-ending candidate's qbeg — a reversed exclusive cummin
-    per read (replaces N_SHUFFLES warp dedup + filter_seed_intervals_gpu).
-  occurrence expansion: per-SMEM occurrence subsampling with stride
-    step = s // max_occ (the rule applied by mem_chain, reference
-    src/bwamem.c:426-427), exclusive scan + searchsorted expansion into a
-    fixed seed capacity, then batched SA lookups.
+  global compaction: all emitted candidates scatter into ONE flat pool of
+    capacity B * cand_pool (cumsum + scatter — the reference uses CUB
+    DeviceSelect::Flagged). Pool order is (read, end) ascending, so
+    per-read segment structure survives as contiguous runs.
+  pass 2 (backward): masked while_loop extending every pooled candidate
+    maximally to the left. Only the k-side interval is carried (the l-side
+    is never needed again), with single-code occ counts.
+  containment filter: a candidate is an SMEM iff its qbeg is strictly
+    below every later-ending candidate's qbeg within the same read — a
+    reversed SEGMENTED exclusive cummin over the pool (replaces the
+    N_SHUFFLES warp dedup + filter_seed_intervals_gpu).
+  occurrence expansion: per-SMEM subsampling with stride step = s//max_occ
+    capped at max_occ entries (the mem_chain rule, src/bwamem.c:426-431),
+    global exclusive scan + searchsorted into a flat seed pool, then
+    batched SA lookups bounded by the text-position sampling interval.
 
-Output seed order is (qend ascending, SA rank) per read; for SMEMs qend
-order equals qbeg order (SMEMs never nest), matching the oracle's
-start-sorted order.
+Outputs are FLAT seed arrays sorted by (read, qend, SA rank); for SMEMs
+qend order equals qbeg order (SMEMs never nest).
 """
 from __future__ import annotations
 
@@ -44,9 +47,9 @@ BIG = jnp.int32(0x3FFFFFFF)
 @dataclass(frozen=True)
 class SeedConfig:
     min_seed_len: int = 19
-    max_candidates: int = 64   # per-read cap on forward-pass emissions
-    max_seeds: int = 160       # per-read cap on expanded occurrences
-    max_occ: int = 500         # subsample SMEMs above this occurrence count
+    cand_pool: int = 48    # candidate pool slots per read (global pool)
+    seed_pool: int = 24    # expanded-seed pool slots per read (global pool)
+    max_occ: int = 500     # subsample SMEMs above this occurrence count
 
 
 def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len):
@@ -73,7 +76,7 @@ def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len):
 
         shrink = jnp.logical_and(active, oks != s)
         emit = jnp.logical_and(shrink, i >= min_seed_len)
-        cand = (seg_start, k, l, s, emit)
+        cand = (seg_start, k, s, emit)
 
         ext_ok = jnp.logical_and(valid, jnp.logical_and(active, oks > 0))
         restart = jnp.logical_and(valid, jnp.logical_not(ext_ok))
@@ -87,137 +90,166 @@ def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len):
         return (k_n, l_n, s_n, seg_n), cand
 
     z = jnp.zeros((B,), jnp.int32)
-    (_, _, _, _), cands = jax.lax.scan(
+    _, cands = jax.lax.scan(
         step, (z, z, z, z), jnp.arange(L + 1, dtype=jnp.int32)
     )
-    # stack: each field (L+1, B) -> (B, L+1)
-    start, k, l, s, emit = (jnp.swapaxes(c, 0, 1) for c in cands)
-    return start, k, l, s, emit
+    start, k, s, emit = (jnp.swapaxes(c, 0, 1) for c in cands)
+    return start, k, s, emit
 
 
-def _compact(fields, emit, cap):
-    """Stable-compact emitted candidates to the front, keep `cap` slots.
-    fields: tuple of (B, N) arrays; emit: (B, N) bool."""
+def _compact_global(fields, emit, pool_size):
+    """Scatter emitted entries (flat scan order) into a flat pool.
+    fields: tuple of (B, N) arrays. Returns (pooled fields, read_id, valid,
+    overflow)."""
     B, N = emit.shape
-    slot = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
-    key = jnp.where(emit, slot, BIG)
-    order = jnp.argsort(key, axis=1)[:, :cap]
-    gather = lambda a: jnp.take_along_axis(a, order, axis=1)
-    out = tuple(gather(f) for f in fields)
-    valid = gather(emit)
-    return out, valid
+    flat_emit = emit.reshape(-1)
+    dst = jnp.cumsum(flat_emit.astype(jnp.int32)) - 1
+    ok = jnp.logical_and(flat_emit, dst < pool_size)
+    dst_safe = jnp.where(ok, dst, pool_size)  # spill slot
+
+    def scatter(x):
+        out = jnp.zeros((pool_size + 1,), x.dtype)
+        return out.at[dst_safe].set(x.reshape(-1))[:pool_size]
+
+    pooled = tuple(scatter(f) for f in fields)
+    rid_src = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, N))
+    rid = scatter(rid_src)
+    n = jnp.minimum(dst[-1] + 1, pool_size)
+    valid = jnp.arange(pool_size, dtype=jnp.int32) < n
+    overflow = dst[-1] + 1 > pool_size
+    return pooled, rid, valid, overflow
 
 
-def _backward_pass(fm: DeviceFMIndex, reads, qbeg, k, l, s, valid):
-    """Extend each candidate maximally to the left. All args (B, C)."""
-    B, C = qbeg.shape
+def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid):
+    """Extend each pooled candidate maximally to the left. Flat (P,).
 
-    ext4 = jax.vmap(
-        jax.vmap(lambda k_, l_, s_: fmops.backward_ext4(fm, k_, l_, s_))
-    )
+    Contained-walker early kill (the reference's warp-shuffle dedup,
+    seed_gen.cu:993-1066): when two candidates of the same read and same
+    current left edge converge to the same interval size, the
+    shorter-ending one (earlier pool slot, pool is (read, end)-ordered) is
+    contained and stops walking. The final containment filter already
+    guarantees it is dropped — this only saves iterations. Dead lanes also
+    redirect their occ gathers to block 0 so they stop touching HBM.
+    """
+    B, L = reads.shape
+    reads_flat = reads.reshape(-1)
+
+    ext = jax.vmap(lambda k_, s_, c_: fmops.backward_ext_ks(fm, k_, s_, c_))
 
     def cond(state):
-        _, _, _, _, done, it = state
-        return jnp.logical_and(jnp.logical_not(jnp.all(done)), it < reads.shape[1])
+        _, _, _, done, it = state
+        return jnp.logical_and(jnp.logical_not(jnp.all(done)), it < L)
 
     def body(state):
-        qb, kk, ll, ss, done, it = state
+        qb, kk, ss, done, it = state
         j = qb - 1
         can = jnp.logical_and(jnp.logical_not(done), j >= 0)
-        jc = jnp.clip(j, 0, reads.shape[1] - 1)
-        base = jnp.take_along_axis(reads, jc, axis=1)
+        base = reads_flat[jnp.clip(rid * L + j, 0, B * L - 1)]
         can = jnp.logical_and(can, base < 4)
-        base_c = jnp.clip(base, 0, 3)
-        k4, l4, s4 = ext4(kk, ll, ss)
-        take = lambda a: jnp.take_along_axis(a, base_c[:, :, None], axis=2)[:, :, 0]
-        nk, nl, ns = take(k4), take(l4), take(s4)
+        kq = jnp.where(can, kk, 0)
+        sq = jnp.where(can, ss, 1)
+        nk, ns = ext(kq, sq, jnp.where(can, jnp.clip(base, 0, 3), 0))
         ok = jnp.logical_and(can, ns >= 1)
         qb = jnp.where(ok, j, qb)
         kk = jnp.where(ok, nk, kk)
-        ll = jnp.where(ok, nl, ll)
         ss = jnp.where(ok, ns, ss)
         done = jnp.logical_not(ok)
-        return qb, kk, ll, ss, done, it + 1
+        # early kill: same read + same current qb + same interval as the
+        # next (longer-ending) live candidate => contained, stop walking
+        nxt = lambda a: jnp.concatenate([a[1:], a[-1:]])
+        same = (jnp.concatenate([rid[1:], jnp.full((1,), -1, rid.dtype)])
+                == rid)
+        same &= nxt(qb) == qb
+        same &= nxt(ss) == ss
+        same &= nxt(kk) == kk
+        done = jnp.logical_or(done, same)
+        return qb, kk, ss, done, it + 1
 
     done0 = jnp.logical_not(valid)
-    qb, kk, ll, ss, _, _ = jax.lax.while_loop(
-        cond, body, (qbeg, k, l, s, done0, jnp.int32(0))
-    )
-    return qb, kk, ll, ss
+    qb, kk, ss, _, _ = jax.lax.while_loop(
+        cond, body, (qbeg, k, s, done0, jnp.int32(0)))
+    return qb, kk, ss
 
 
-def _containment_filter(qbeg, qend, valid, min_seed_len):
-    """Keep candidate iff qbeg strictly below the min qbeg of all
-    later-ending valid candidates, and length >= min_seed_len."""
+def _segmented_suffix_min(v, seg):
+    """For each i: min(v[j] for j > i with seg[j] == seg[i]) (exclusive),
+    BIG if none. v, seg: (P,) int32."""
+    vr = v[::-1]
+    sr = seg[::-1]
+
+    def op(a, b):
+        av, ag = a
+        bv, bg = b
+        return jnp.where(bg == ag, jnp.minimum(av, bv), bv), bg
+
+    mv, _ = jax.lax.associative_scan(op, (vr, sr))
+    inc = mv[::-1]  # inclusive suffix min within segment
+    nxt_v = jnp.concatenate([inc[1:], jnp.full((1,), BIG, v.dtype)])
+    nxt_g = jnp.concatenate([seg[1:], jnp.full((1,), -1, seg.dtype)])
+    return jnp.where(nxt_g == seg, nxt_v, BIG)
+
+
+def _containment_filter(qbeg, qend, rid, valid, min_seed_len):
     q = jnp.where(valid, qbeg, BIG)
-    rev = q[:, ::-1]
-    cummin = jax.lax.associative_scan(jnp.minimum, rev, axis=1)
-    # exclusive suffix min: shift by one
-    suff = jnp.concatenate(
-        [cummin[:, ::-1][:, 1:], jnp.full((q.shape[0], 1), BIG, jnp.int32)],
-        axis=1,
-    )
+    seg = jnp.where(valid, rid, -2)
+    suff = _segmented_suffix_min(q, seg)
     keep = jnp.logical_and(valid, qbeg < suff)
-    keep = jnp.logical_and(keep, (qend - qbeg) >= min_seed_len)
-    return keep
+    return jnp.logical_and(keep, (qend - qbeg) >= min_seed_len)
 
 
-def _expand_occurrences(fm, qbeg, qend, k, s, keep, max_seeds, max_occ):
-    """Expand SMEMs into per-occurrence seeds with subsampling."""
-    B, C = qbeg.shape
+def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size, max_occ):
+    P = qbeg.shape[0]
     s_v = jnp.where(keep, s, 0)
     step = jnp.where(s_v > max_occ, s_v // max_occ, 1)
-    # reference loop: k < n_occ AND count < max_occ (src/bwamem.c:426-431)
     count = jnp.where(s_v > 0, (s_v + step - 1) // step, 0)
-    count = jnp.minimum(count, max_occ)
-    cum = jnp.cumsum(count, axis=1)  # inclusive
-    total = cum[:, -1]
+    count = jnp.minimum(count, max_occ)  # reference: count < max_occ cap
+    cum = jnp.cumsum(count)
+    total = cum[-1]
     cum_excl = cum - count
 
-    t = jnp.arange(max_seeds, dtype=jnp.int32)
-
-    def per_read(cum_r, cum_excl_r, total_r):
-        cand = jnp.searchsorted(cum_r, t, side="right").astype(jnp.int32)
-        cand = jnp.clip(cand, 0, C - 1)
-        seed_valid = t < total_r
-        off = t - cum_excl_r[cand]
-        return cand, off, seed_valid
-
-    cand, off, seed_valid = jax.vmap(per_read)(cum, cum_excl, total)
-    g = lambda a: jnp.take_along_axis(a, cand, axis=1)
-    rows = g(k) + off * g(step)
-    rows = jnp.where(seed_valid, rows, 0)
-    rbeg = jax.vmap(jax.vmap(lambda r: fmops.sa_lookup(fm, r)))(rows)
+    t = jnp.arange(pool_size, dtype=jnp.int32)
+    cand = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    cand = jnp.clip(cand, 0, P - 1)
+    seed_valid = t < jnp.minimum(total, pool_size)
+    off = t - cum_excl[cand]
+    g = lambda a: a[cand]
+    rows = jnp.where(seed_valid, g(k) + off * g(step), 0)
+    rbeg = jax.vmap(lambda r: fmops.sa_lookup(fm, r))(rows)
     return dict(
+        read_id=jnp.where(seed_valid, g(rid), -1),
         rbeg=jnp.where(seed_valid, rbeg, -1),
         qbeg=jnp.where(seed_valid, g(qbeg), -1),
         qend=jnp.where(seed_valid, g(qend), -1),
         n_occ=jnp.where(seed_valid, g(s), 0),
         valid=seed_valid,
-        n_seeds=jnp.minimum(total, max_seeds),
-        overflow=total > max_seeds,
+        n_seeds=jnp.minimum(total, pool_size),
+        overflow=total > pool_size,
     )
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def smem_seed_batch(fm: DeviceFMIndex, reads, lens, cfg: SeedConfig = SeedConfig()):
+def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
+                    cfg: SeedConfig = SeedConfig()):
     """End-to-end batched seeding.
 
     reads: (B, L) int32 base codes (amb/pad = 4); lens: (B,) int32.
-    Returns dict of (B, max_seeds) seed arrays + per-read metadata.
-    rbeg is in doubled (fwd+rev) coordinates like the reference's
-    mem_seed_v_gpu output (reference: seed_gen.h:69-76).
+    Returns FLAT pooled seed arrays (size B*seed_pool) sorted by
+    (read, qend, SA rank): read_id, rbeg (doubled coords, like the
+    reference's mem_seed_v_gpu, seed_gen.h:69-76), qbeg, qend, n_occ,
+    valid + scalars n_seeds / overflow.
     """
     reads = reads.astype(jnp.int32)
     lens = lens.astype(jnp.int32)
     B, L = reads.shape
-    start, k, l, s, emit = _forward_pass(fm, reads, lens, cfg.min_seed_len)
+    start, k, s, emit = _forward_pass(fm, reads, lens, cfg.min_seed_len)
     end = jnp.broadcast_to(jnp.arange(L + 1, dtype=jnp.int32), (B, L + 1))
-    (start, end, k, l, s), valid = _compact(
-        (start, end, k, l, s), emit, cfg.max_candidates
-    )
-    qbeg, k, l, s = _backward_pass(fm, reads, start, k, l, s, valid)
-    keep = _containment_filter(qbeg, end, valid, cfg.min_seed_len)
-    return _expand_occurrences(
-        fm, qbeg, end, k, s, keep, cfg.max_seeds, cfg.max_occ
-    )
+    cand_cap = B * cfg.cand_pool
+    (start, end, k, s), rid, valid, c_over = _compact_global(
+        (start, end, k, s), emit, cand_cap)
+    qbeg, k, s = _backward_pass(fm, reads, rid, start, k, s, valid)
+    keep = _containment_filter(qbeg, end, rid, valid, cfg.min_seed_len)
+    out = _expand_occurrences(
+        fm, rid, qbeg, end, k, s, keep, B * cfg.seed_pool, cfg.max_occ)
+    out["overflow"] = jnp.logical_or(out["overflow"], c_over)
+    return out

@@ -50,7 +50,7 @@ def sharded_align_step(mesh: Mesh, cfg: AlignStepConfig = AlignStepConfig(),
     )
     def step(fm, reads, lens):
         out = device_align_step(fm, reads, lens, cfg)
-        total_seeds = jax.lax.psum(jnp.sum(out["n_seeds"]), axis)
+        total_seeds = jax.lax.psum(jnp.sum(out.pop("n_seeds")), axis)
         if gather_out:
             out = jax.tree_util.tree_map(
                 lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),

@@ -278,7 +278,9 @@ class MemAligner:
             e_ins=opt.e_ins, w=opt.w, zdrop=opt.zdrop,
             end_bonus=opt.pen_clip5, opt_ext=opt.opt_ext, max_mat=opt.a)
 
-    def seed_batch(self, seqs: list[np.ndarray]):
+    def seed_batch(self, seqs: list[np.ndarray]) -> list[list[tuple]]:
+        """Device seeding; returns per-read seed lists
+        [(qbeg, qend, rbeg, n_occ)] in (qend, SA-rank) order."""
         B = len(seqs)
         L = max(16, -(-max(len(s) for s in seqs) // 16) * 16)
         reads = np.full((B, L), 4, np.int32)
@@ -288,7 +290,20 @@ class MemAligner:
             lens[i] = len(s)
         out = smem_seed_batch(self.fm, jnp.asarray(reads), jnp.asarray(lens),
                               self.seed_cfg)
-        return {k: np.asarray(v) for k, v in out.items()}
+        out = {k: np.asarray(v) for k, v in out.items()}
+        if bool(out["overflow"]):
+            import sys
+            print("[bwamem-tpu] warning: seed pool overflow; some seeds "
+                  "dropped (raise SeedConfig pools)", file=sys.stderr)
+        n = int(out["n_seeds"])
+        rid = out["read_id"][:n]
+        cols = np.stack([out["qbeg"][:n], out["qend"][:n],
+                         out["rbeg"][:n], out["n_occ"][:n]], axis=1)
+        bounds = np.searchsorted(rid, np.arange(B + 1))
+        return [
+            [tuple(int(x) for x in row) for row in cols[bounds[b]:bounds[b + 1]]]
+            for b in range(B)
+        ]
 
     def align_batch(self, names: list[str], seqs: list[np.ndarray],
                     quals: list[str | None] | None = None,
@@ -301,12 +316,7 @@ class MemAligner:
         per_read_regs: list[list[AlnReg]] = []
         jobs: list[ExtJob] = []
         for b, seq in enumerate(seqs):
-            nv = int(seeds["n_seeds"][b])
-            seed_list = [
-                (int(seeds["qbeg"][b, t]), int(seeds["qend"][b, t]),
-                 int(seeds["rbeg"][b, t]), int(seeds["n_occ"][b, t]))
-                for t in range(nv)
-            ]
+            seed_list = seeds[b]
             chains = mem_chain(opt, idx, len(seq), seed_list)
             chains = mem_chain_flt(opt, chains)
             regs: list[AlnReg] = []

@@ -1,4 +1,4 @@
-"""Batched device seeding vs the SMEM oracle."""
+"""Batched device seeding vs the SMEM oracle (flat-pool API)."""
 import jax.numpy as jnp
 import numpy as np
 
@@ -14,13 +14,15 @@ def oracle_seeds(orc, q, min_seed_len, max_occ):
     for m in sorted(mems, key=lambda m: m.end):
         step = m.s // max_occ if m.s > max_occ else 1
         j = 0
-        while j < m.s:
+        count = 0
+        while j < m.s and count < max_occ:
             out.append((m.start, m.end, orc.sa_lookup(m.k + j), m.s))
             j += step
+            count += 1
     return out
 
 
-def _run_batch(idx, reads_list, min_seed_len, max_occ=500, max_seeds=160):
+def _run_batch(idx, reads_list, min_seed_len, max_occ=500):
     fm = DeviceFMIndex.from_host(idx)
     L = max(len(r) for r in reads_list)
     B = len(reads_list)
@@ -29,10 +31,17 @@ def _run_batch(idx, reads_list, min_seed_len, max_occ=500, max_seeds=160):
     for i, r in enumerate(reads_list):
         reads[i, : len(r)] = r
         lens[i] = len(r)
-    cfg = SeedConfig(min_seed_len=min_seed_len, max_occ=max_occ,
-                     max_seeds=max_seeds)
+    cfg = SeedConfig(min_seed_len=min_seed_len, max_occ=max_occ)
     out = smem_seed_batch(fm, jnp.asarray(reads), jnp.asarray(lens), cfg)
-    return {k: np.asarray(v) for k, v in out.items()}
+    out = {k: np.asarray(v) for k, v in out.items()}
+    n = int(out["n_seeds"])
+    per_read = [[] for _ in range(B)]
+    for t in range(n):
+        per_read[out["read_id"][t]].append(
+            (int(out["qbeg"][t]), int(out["qend"][t]),
+             int(out["rbeg"][t]), int(out["n_occ"][t])))
+    assert not out["overflow"]
+    return per_read
 
 
 def test_seeding_matches_oracle(tiny_index):
@@ -54,32 +63,16 @@ def test_seeding_matches_oracle(tiny_index):
             q[10] = 4  # embed an N
         reads.append(q)
 
-    out = _run_batch(idx, reads, min_seed_len=15)
+    got_all = _run_batch(idx, reads, min_seed_len=15)
     for b, q in enumerate(reads):
         exp = oracle_seeds(orc, q, 15, 500)
-        nv = int(out["n_seeds"][b])
-        got = [
-            (int(out["qbeg"][b, t]), int(out["qend"][b, t]),
-             int(out["rbeg"][b, t]), int(out["n_occ"][b, t]))
-            for t in range(nv)
-        ]
-        assert got == exp, f"read {b}: {got[:5]} vs {exp[:5]}"
-        assert not out["overflow"][b]
+        assert got_all[b] == exp, f"read {b}"
 
 
 def test_seeding_subsampling(tiny_index):
-    """A low-complexity read whose seeds exceed max_occ must be strided."""
+    """Force the stride/cap path with a tiny max_occ."""
     g, idx = tiny_index
     orc = FMOracle(idx)
-    # plant a repeated 20-mer? tiny genome is random; use small max_occ to
-    # force the stride path on normal seeds instead.
     q = g[300:360].copy()
-    out = _run_batch(idx, [q], min_seed_len=15, max_occ=1)
-    exp = oracle_seeds(orc, q, 15, 1)
-    nv = int(out["n_seeds"][0])
-    got = [
-        (int(out["qbeg"][0, t]), int(out["qend"][0, t]),
-         int(out["rbeg"][0, t]), int(out["n_occ"][0, t]))
-        for t in range(nv)
-    ]
-    assert got == exp
+    got = _run_batch(idx, [q], min_seed_len=15, max_occ=1)
+    assert got[0] == oracle_seeds(orc, q, 15, 1)
