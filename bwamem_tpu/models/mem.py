@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..index.device import DeviceFMIndex
-from ..ops.extend import ExtendParams, end_choice, extend_batch, make_score_matrix
+from ..ops.extend import (ExtendParams, end_choice, extend_batch,
+                          extend_batch_auto, make_score_matrix)
 from ..ops.refgather import gather_bases
 from ..ops.seeding import SeedConfig, smem_seed_batch
 
@@ -96,7 +97,7 @@ def device_align_step(fm: DeviceFMIndex, reads, lens,
     h0 = jnp.maximum(seedlen * cfg.a, 1)
 
     def run_side(q, t, ql, tl):
-        out = extend_batch(q, t, ql, tl, h0, mat, cfg.ext)
+        out = extend_batch_auto(q, t, ql, tl, h0, mat, cfg.ext)
         return end_choice(out["score"], out["qle"], out["tle"],
                           out["gscore"], out["gtle"], ql, cfg.pen_clip)
 

@@ -50,7 +50,8 @@ class ExtendParams:
     zdrop: int = 0        # fork default: disabled (src/bwamem.c:112)
     end_bonus: int = 5    # = pen_clip (used in the w clamp)
     opt_ext: bool = True  # apply the band inside the DP loop
-    max_mat: int = 1      # max entry of the score matrix (for the w clamp)
+    max_mat: int = 1      # match score a / max matrix entry (w clamp)
+    mismatch: int = 4     # mismatch penalty b (for the Pallas fast path)
 
 
 def make_score_matrix(a: int = 1, b: int = 4) -> np.ndarray:
@@ -212,6 +213,17 @@ def extend_batch(
     )
     return dict(score=best, qle=qle, tle=tle, gscore=gscore, gtle=gtle,
                 max_off=max_off)
+
+
+def extend_batch_auto(query, target, qlen, tlen, h0, mat, params):
+    """Dispatch: Pallas kernel on TPU backends, lax.scan elsewhere (the
+    Pallas kernel runs everywhere via interpret mode, but compiled XLA is
+    faster on CPU). Both paths are tested for exact agreement."""
+    if jax.default_backend() in ("tpu", "axon"):
+        from .pallas.extend_kernel import extend_batch_pallas
+
+        return extend_batch_pallas(query, target, qlen, tlen, h0, params)
+    return extend_batch(query, target, qlen, tlen, h0, mat, params)
 
 
 def end_choice(score, qle, tle, gscore, gtle, qlen, pen_clip):

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..index.device import DeviceFMIndex
 from ..index.format import FMIndex
-from ..ops.extend import ExtendParams, end_choice, extend_batch
+from ..ops.extend import ExtendParams, end_choice, extend_batch_auto
 from ..ops.seeding import SeedConfig, smem_seed_batch
 from .chain import Chain, mem_chain, mem_chain_flt
 from .options import FILTER_COEF, MemOptions, MEM_F_ALL, MEM_F_NO_MULTI, cal_max_gap
@@ -193,9 +193,9 @@ def run_extension_jobs(fm_params: ExtendParams, mat: np.ndarray,
             Q[i, : len(j.query)] = j.query
             T[i, : len(j.target)] = j.target
             ql[i], tl[i], h0[i] = len(j.query), len(j.target), j.h0
-        out = extend_batch(jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql),
-                           jnp.asarray(tl), jnp.asarray(h0),
-                           jnp.asarray(mat), fm_params)
+        out = extend_batch_auto(jnp.asarray(Q), jnp.asarray(T),
+                                jnp.asarray(ql), jnp.asarray(tl),
+                                jnp.asarray(h0), jnp.asarray(mat), fm_params)
         sc, qe, te = end_choice(out["score"], out["qle"], out["tle"],
                                 out["gscore"], out["gtle"], jnp.asarray(ql),
                                 pen_clip)
@@ -276,7 +276,8 @@ class MemAligner:
         self.ext_params = ExtendParams(
             o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
             e_ins=opt.e_ins, w=opt.w, zdrop=opt.zdrop,
-            end_bonus=opt.pen_clip5, opt_ext=opt.opt_ext, max_mat=opt.a)
+            end_bonus=opt.pen_clip5, opt_ext=opt.opt_ext, max_mat=opt.a,
+            mismatch=opt.b)
 
     def seed_batch(self, seqs: list[np.ndarray]) -> list[list[tuple]]:
         """Device seeding; returns per-read seed lists
