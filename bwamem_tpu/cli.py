@@ -35,7 +35,12 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-a", action="store_true", dest="all_alignments",
                    help="output all alignments (SE only)")
     p.add_argument("-M", action="store_true", dest="mark_short_split")
-    p.add_argument("-S", action="store_true", dest="skip_pairing")
+    p.add_argument("-S", action="store_true", dest="skip_pairing",
+                   help="skip pairing; mate rescue performed unless -P also in use")
+    p.add_argument("-P", action="store_true", dest="skip_rescue",
+                   help="skip mate rescue (with -S: fully SE-like PE)")
+    p.add_argument("-p", action="store_true", dest="smart_pairing",
+                   help="smart pairing: reads file is interleaved PE")
     p.add_argument("-Y", action="store_true", dest="softclip_supp")
     p.add_argument("-R", default=None, dest="rg_line",
                    help="read group header line such as '@RG\\tID:foo'")
@@ -139,9 +144,15 @@ def cmd_align(args) -> int:
         opt.flag |= MEM_F_ALL
     if args.softclip_supp:
         opt.flag |= MEM_F_SOFTCLIP
-    paired = args.mates is not None
+    paired = args.mates is not None or args.smart_pairing
     if paired:
         opt.flag |= MEM_F_PE
+    if args.skip_pairing:
+        from .pipeline.options import MEM_F_NOPAIRING
+        opt.flag |= MEM_F_NOPAIRING
+    if args.skip_rescue:
+        from .pipeline.options import MEM_F_NO_RESCUE
+        opt.flag |= MEM_F_NO_RESCUE
 
     rg_id = None
     if args.rg_line:
@@ -154,12 +165,10 @@ def cmd_align(args) -> int:
                           cand_pool=args.seed_cands,
                           seed_pool=args.seed_cap, max_occ=opt.max_occ)
     aligner = MemAligner(opt, idx, seed_cfg=seed_cfg)
-    if paired:
-        from .pipeline.paired import PairedAligner
-        from .io.fastx import read_fastx as _rf
-
-        aligner = PairedAligner(aligner)
+    if args.mates is not None:
         records = _interleave(read_fastx(args.reads), read_fastx(args.mates))
+    elif paired:  # -p smart pairing: single interleaved file
+        records = read_fastx(args.reads)
     else:
         records = read_fastx(args.reads)
 
@@ -183,9 +192,13 @@ def cmd_align(args) -> int:
 
 
 def _interleave(it1, it2):
-    for a, b in zip(it1, it2):
-        yield a
-        yield b
+    try:
+        for a, b in zip(it1, it2, strict=True):
+            yield a
+            yield b
+    except ValueError:
+        raise SystemExit(
+            "[bwamem-tpu] error: paired files have different read counts")
 
 
 if __name__ == "__main__":

@@ -117,6 +117,26 @@ class FMIndex:
         pos = 2 * lp - 1 - np.arange(beg, end)
         return beg, end, (3 - self.get_base(pos)).astype(np.uint8)
 
+    def fetch_seq_rid(self, beg: int, end: int,
+                      mid: int) -> tuple[int, int, np.ndarray, int]:
+        """bns_fetch_seq equivalent (reference: src/bntseq.c bns_fetch_seq):
+        like fetch_seq but also clips [beg, end) to the boundaries of the
+        reference sequence containing `mid` and returns its rid."""
+        lp = self.l_pac
+        is_rev = mid >= lp
+        fpos = (2 * lp - 1 - mid) if is_rev else mid
+        rid = self.ann.pos_to_rid(fpos)
+        if rid < 0:
+            return beg, beg, np.empty(0, dtype=np.uint8), rid
+        far_beg = self.ann.offsets[rid]
+        far_end = far_beg + self.ann.lengths[rid]
+        if is_rev:
+            far_beg, far_end = 2 * lp - far_end, 2 * lp - far_beg
+        beg = max(beg, far_beg)
+        end = min(end, far_end)
+        b, e, seq = self.fetch_seq(beg, end, mid=mid)
+        return b, e, seq, rid
+
     # ---------- save / load ----------
 
     def save(self, path: str) -> None:

@@ -15,6 +15,14 @@ import numpy as np
 from ..utils.dna import encode
 
 
+def _trim_readno(name: str) -> str:
+    """Drop a trailing /1 or /2 (reference: src/bwa.c trim_readno via
+    bseq_read) so mate QNAMEs match."""
+    if len(name) > 2 and name[-2] == "/" and name[-1] in "12":
+        return name[:-2]
+    return name
+
+
 @dataclass
 class SeqRecord:
     name: str
@@ -39,7 +47,7 @@ def read_fastx(path: str) -> Iterator[SeqRecord]:
                 qual = f.readline().strip()
                 parts = hdr[1:].strip().split(None, 1)
                 yield SeqRecord(
-                    name=parts[0].decode(),
+                    name=_trim_readno(parts[0].decode()),
                     seq=encode(seq),
                     qual=qual.decode(),
                     comment=parts[1].decode() if len(parts) > 1 else None,
@@ -57,7 +65,7 @@ def read_fastx(path: str) -> Iterator[SeqRecord]:
                         yield SeqRecord(name, encode(b"".join(chunks)),
                                         None, comment)
                     parts = line[1:].split(None, 1)
-                    name = parts[0].decode()
+                    name = _trim_readno(parts[0].decode())
                     comment = parts[1].decode() if len(parts) > 1 else None
                     chunks = []
                 else:
@@ -66,16 +74,18 @@ def read_fastx(path: str) -> Iterator[SeqRecord]:
                 yield SeqRecord(name, encode(b"".join(chunks)), None, comment)
 
 
-def chunk_records(records: Iterator[SeqRecord],
-                  chunk_bases: int) -> Iterator[list[SeqRecord]]:
+def chunk_records(records: Iterator[SeqRecord], chunk_bases: int,
+                  paired: bool = False) -> Iterator[list[SeqRecord]]:
     """Group records into chunks of ~chunk_bases total bases (the
-    reference reads one extra record past the threshold; we stop at it)."""
+    reference reads one extra record past the threshold; we stop at it).
+    With paired=True a chunk boundary never splits a read pair (the
+    reference keeps chunks even-sized the same way, src/bwa.c:76-78)."""
     batch: list[SeqRecord] = []
     size = 0
     for rec in records:
         batch.append(rec)
         size += len(rec.seq)
-        if size >= chunk_bases:
+        if size >= chunk_bases and not (paired and len(batch) % 2):
             yield batch
             batch, size = [], 0
     if batch:

@@ -145,6 +145,61 @@ def extend_with_end_choice(
     return r.gscore, len(query), r.gtle
 
 
+@dataclass
+class LocalResult:
+    score: int
+    qb: int
+    qe: int      # inclusive 0-based, -1 when score == 0
+    tb: int
+    te: int
+    score2: int
+
+
+def ksw_local(query, target, mat, o_del, e_del, o_ins, e_ins,
+              minsc: int = 0, _with_start: bool = True) -> LocalResult:
+    """Scalar local affine-gap SW with start positions and second-best —
+    the oracle for ops/swalign.sw_align_batch (semantics of the
+    reference's ksw_align2, src/ksw.c:355-612). E/F gaps open from the
+    full H; ties: earliest target row (strict >), earliest query column."""
+    q, t = np.asarray(query), np.asarray(target)
+    qlen, tlen = len(q), len(t)
+    oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+    H_prev = np.zeros(qlen, np.int64)
+    E = np.zeros(qlen, np.int64)
+    best, qe, te = 0, -1, -1
+    rowmax = np.zeros(tlen, np.int64)
+    for i in range(tlen):
+        H = np.zeros(qlen, np.int64)
+        f = NEG_INF
+        for j in range(qlen):
+            M = (H_prev[j - 1] if j else 0) + int(mat[t[i], q[j]])
+            E[j] = max(E[j] - e_del, H_prev[j] - oe_del, 0)
+            h = max(M, E[j], f, 0)
+            H[j] = h
+            f = max(f - e_ins, h - oe_ins)
+        rowmax[i] = H.max() if qlen else 0
+        if rowmax[i] > best:
+            best = int(rowmax[i])
+            qe = int(np.argmax(H))
+            te = i
+        H_prev = H
+    # second best: outside te +- ceil(best / max_mat)
+    mx = int(mat.max())
+    halfw = (best + mx - 1) // mx if best else 0
+    score2 = 0
+    for i in range(tlen):
+        if (i < te - halfw or i > te + halfw) and rowmax[i] >= minsc:
+            score2 = max(score2, int(rowmax[i]))
+    # reverse pass for starts
+    qb = tb = -1
+    if best > 0 and _with_start:
+        rr = ksw_local(q[: qe + 1][::-1], t[: te + 1][::-1], mat,
+                       o_del, e_del, o_ins, e_ins, _with_start=False)
+        if rr.score == best:
+            qb, tb = qe - rr.qe, te - rr.te
+    return LocalResult(score=best, qb=qb, qe=qe, tb=tb, te=te, score2=score2)
+
+
 def ksw_global(
     query: np.ndarray,
     target: np.ndarray,

@@ -29,7 +29,8 @@ from ..index.format import FMIndex
 from ..ops.extend import ExtendParams, end_choice, extend_batch_auto
 from ..ops.seeding import SeedConfig, smem_seed_batch
 from .chain import Chain, mem_chain, mem_chain_flt
-from .options import FILTER_COEF, MemOptions, MEM_F_ALL, MEM_F_NO_MULTI, cal_max_gap
+from .options import (FILTER_COEF, MemOptions, MEM_F_ALL, MEM_F_NO_MULTI,
+                      MEM_F_NO_RESCUE, cal_max_gap)
 from .regions import AlnReg, mem_mark_primary_se, mem_sort_dedup_patch
 from .samgen import MemAln, mem_aln2sam, mem_gen_alt, mem_reg2aln
 
@@ -69,7 +70,8 @@ def chain2aln_jobs(opt: MemOptions, idx: FMIndex, l_query: int,
             rmax1 = l_pac
         else:
             rmax0 = l_pac
-    rmax0, rmax1, rseq = idx.fetch_seq(rmax0, rmax1, mid=c.seeds[0].rbeg)
+    rmax0, rmax1, rseq, _rid = idx.fetch_seq_rid(rmax0, rmax1,
+                                                 mid=c.seeds[0].rbeg)
 
     # process seeds best-score-first (ties: later index first)
     srt = sorted(range(len(c.seeds)),
@@ -306,12 +308,13 @@ class MemAligner:
             for b in range(B)
         ]
 
-    def align_batch(self, names: list[str], seqs: list[np.ndarray],
-                    quals: list[str | None] | None = None,
-                    n_processed: int = 0) -> list[str]:
-        """Returns SAM lines (one or more per read, input order)."""
+    def collect_regs_batch(
+            self, seqs: list[np.ndarray]) -> list[list[AlnReg]]:
+        """Device seeding + host chaining + ONE batched device extension
+        per bucket + L/R merge + dedup/patch. Equivalent of worker1 ->
+        mem_align1_core output (reference: src/bwamem.c:2440-2449), before
+        primary marking."""
         opt, idx = self.opt, self.idx
-        quals = quals or [None] * len(seqs)
         seeds = self.seed_batch(seqs)
 
         per_read_regs: list[list[AlnReg]] = []
@@ -327,12 +330,65 @@ class MemAligner:
 
         run_extension_jobs(self.ext_params, opt.mat, jobs, opt.pen_clip5)
 
-        out_lines: list[str] = []
+        out: list[list[AlnReg]] = []
         for b, seq in enumerate(seqs):
             regs = per_read_regs[b]
             merge_extension_results(len(seq), regs)
-            regs = mem_sort_dedup_patch(opt, idx, seq, regs)
-            regs, _ = mem_mark_primary_se(opt, regs, n_processed + b)
+            out.append(mem_sort_dedup_patch(opt, idx, seq, regs))
+        return out
+
+    def align_batch(self, names: list[str], seqs: list[np.ndarray],
+                    quals: list[str | None] | None = None,
+                    n_processed: int = 0) -> list[str]:
+        """Single-end: returns SAM lines (one or more per read, in input
+        order)."""
+        opt, idx = self.opt, self.idx
+        quals = quals or [None] * len(seqs)
+        per_read_regs = self.collect_regs_batch(seqs)
+        out_lines: list[str] = []
+        for b, seq in enumerate(seqs):
+            regs, _ = mem_mark_primary_se(opt, per_read_regs[b],
+                                          n_processed + b)
             out_lines.extend(
                 mem_reg2sam(opt, idx, names[b], seq, quals[b], regs))
+        return out_lines
+
+    def align_pairs_batch(self, names: list[str], seqs: list[np.ndarray],
+                          quals: list[str | None] | None = None,
+                          n_processed: int = 0,
+                          pes: list | None = None) -> list[str]:
+        """Paired-end: `seqs` is interleaved (read1, read2, ...). Insert
+        sizes inferred from this chunk unless `pes` is given (equivalent of
+        mem_process_seqs's PE path, reference: src/bwamem.c:2504-2512 +
+        src/bwamem_pair.c mem_sam_pe)."""
+        from .pairing import (mem_pe_rescue_batch, mem_pestat,
+                              mem_sam_pe_finalize)
+
+        opt, idx = self.opt, self.idx
+        if len(seqs) % 2:
+            raise SystemExit(
+                "[bwamem-tpu] error: paired-end input has an odd number of "
+                "reads — not valid interleaved PE data")
+        quals = quals or [None] * len(seqs)
+        per_read_regs = self.collect_regs_batch(seqs)
+        if pes is None:
+            pes = mem_pestat(opt, idx.l_pac, per_read_regs)
+        n_pairs = len(seqs) >> 1
+        pair_seqs = [(seqs[i << 1], seqs[i << 1 | 1])
+                     for i in range(n_pairs)]
+        pair_regs = [[per_read_regs[i << 1], per_read_regs[i << 1 | 1]]
+                     for i in range(n_pairs)]
+        if not (opt.flag & MEM_F_NO_RESCUE):
+            mem_pe_rescue_batch(opt, idx, pes, pair_seqs, pair_regs)
+        out_lines: list[str] = []
+        for i in range(n_pairs):
+            id_ = (n_processed >> 1) + i
+            l0, l1 = mem_sam_pe_finalize(
+                opt, idx, pes, id_,
+                [names[i << 1], names[i << 1 | 1]],
+                [seqs[i << 1], seqs[i << 1 | 1]],
+                [quals[i << 1], quals[i << 1 | 1]],
+                pair_regs[i])
+            out_lines.extend(l0)
+            out_lines.extend(l1)
         return out_lines

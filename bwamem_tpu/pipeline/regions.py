@@ -99,8 +99,10 @@ def mem_patch_reg(opt: MemOptions, idx: FMIndex, query: np.ndarray,
 
 
 def mem_sort_dedup_patch(opt: MemOptions, idx: FMIndex, query: np.ndarray,
-                         regs: list[AlnReg]) -> list[AlnReg]:
-    """reference: src/bwamem.c:620-680."""
+                         regs: list[AlnReg],
+                         patch: bool = True) -> list[AlnReg]:
+    """reference: src/bwamem.c:620-680. With patch=False runs dedup only
+    (the mem_matesw call passes null bns/pac, src/bwamem_pair.c:183)."""
     n = len(regs)
     if n <= 1:
         return regs
@@ -128,7 +130,7 @@ def mem_sort_dedup_patch(opt: MemOptions, idx: FMIndex, query: np.ndarray,
                 else:
                     q.qe = q.qb
             elif q.rb < p.rb:
-                res = mem_patch_reg(opt, idx, query, q, p)
+                res = mem_patch_reg(opt, idx, query, q, p) if patch else None
                 if res is not None:
                     score, w = res
                     p.n_comp += q.n_comp + 1

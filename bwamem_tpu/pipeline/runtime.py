@@ -33,7 +33,7 @@ def run_pipeline(records: Iterator[SeqRecord], aligner, chunk_bases: int,
 
     def reader():
         try:
-            for batch in chunk_records(records, chunk_bases):
+            for batch in chunk_records(records, chunk_bases, paired=paired):
                 in_q.put(batch)
         except BaseException as e:  # noqa: BLE001
             errors.append(e)
