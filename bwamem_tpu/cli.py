@@ -50,10 +50,10 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-o", default=None, dest="output")
     p.add_argument("--vanilla", action="store_true",
                    help="vanilla bwa-mem defaults (w=100, zdrop=100)")
-    p.add_argument("--seed-cands", type=int, default=24,
-                   help="candidate pool slots per read")
+    p.add_argument("--seed-cands", type=int, default=48,
+                   help="candidate pool slots per read (auto-doubles on overflow)")
     p.add_argument("--seed-cap", type=int, default=24,
-                   help="expanded-seed pool slots per read")
+                   help="expanded-seed pool slots per read (auto-doubles on overflow)")
 
 
 def main(argv=None) -> int:

@@ -24,7 +24,7 @@ _lock = threading.Lock()
 _lib = None
 _load_failed = False
 
-_SOURCES = ["sais.cpp", "fastx.cpp"]
+_SOURCES = ["sais.cpp", "ksw.cpp", "fastx.cpp"]
 
 
 def _build() -> bool:
@@ -73,8 +73,46 @@ def try_load():
             ctypes.c_int64,
             ctypes.c_int64,
         ]
+        lib.bm_ksw_global.restype = ctypes.c_int
+        lib.bm_ksw_global.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return _lib
+
+
+def ksw_global_native(lib, query, target, mat, o_del, e_del, o_ins, e_ins,
+                      w, want_cigar=True):
+    """Native banded global alignment; mirrors oracle.ksw.ksw_global's
+    return contract: (score, [(op, len), ...])."""
+    q = np.ascontiguousarray(query, dtype=np.uint8)
+    t = np.ascontiguousarray(target, dtype=np.uint8)
+    m = np.ascontiguousarray(mat, dtype=np.int8)
+    score = ctypes.c_int32()
+    n_cigar = ctypes.c_int32()
+    cap = len(q) + len(t) + 2
+    cig = np.empty(cap, dtype=np.uint32)
+    rc = lib.bm_ksw_global(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(q),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(t),
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), m.shape[0],
+        int(o_del), int(e_del), int(o_ins), int(e_ins), int(w),
+        ctypes.byref(score),
+        cig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)) if want_cigar
+        else None,
+        cap, ctypes.byref(n_cigar),
+    )
+    if rc != 0:
+        raise RuntimeError("bm_ksw_global failed")
+    cigar = [(int(c & 0xF), int(c >> 4)) for c in cig[: n_cigar.value]]
+    return int(score.value), cigar
 
 
 def sais(lib, codes: np.ndarray) -> np.ndarray:

@@ -220,6 +220,11 @@ def ksw_global(
         if qlen:
             cigar.append((CIGAR_I, qlen))
         return (NEG_INF if (qlen or tlen) else 0), cigar
+    # a band narrower than |tlen - qlen| can never reach the corner cell;
+    # the reference relies on callers enforcing this (bwa_gen_cigar2 sets
+    # w >= |rlen - l_query| + 3) and would read stale memory otherwise —
+    # clamp instead so the function is total.
+    w = max(w, abs(tlen - qlen))
     oe_del, oe_ins = o_del + e_del, o_ins + e_ins
     qp = mat[:, q].astype(np.int64)
     n_col = min(qlen, 2 * w + 1)

@@ -28,6 +28,7 @@ from ..index.device import DeviceFMIndex
 from ..index.format import FMIndex
 from ..ops.extend import ExtendParams, end_choice, extend_batch_auto
 from ..ops.seeding import SeedConfig, smem_seed_batch
+from ..utils.shapes import bucket_count, bucket_len
 from .chain import Chain, mem_chain, mem_chain_flt
 from .options import (FILTER_COEF, MemOptions, MEM_F_ALL, MEM_F_NO_MULTI,
                       MEM_F_NO_RESCUE, cal_max_gap)
@@ -183,14 +184,15 @@ def run_extension_jobs(fm_params: ExtendParams, mat: np.ndarray,
                 buckets.setdefault(b, []).append(j)
                 break
     for sub in buckets.values():
-        QMAX = max(16, -(-max(len(j.query) for j in sub) // 16) * 16)
-        TMAX = max(16, -(-max(len(j.target) for j in sub) // 16) * 16)
-        N = len(sub)
+        # quantized pads: finite executable set, no per-batch recompiles
+        QMAX = bucket_len(max(len(j.query) for j in sub))
+        TMAX = bucket_len(max(len(j.target) for j in sub))
+        N = bucket_count(len(sub))
         Q = np.full((N, QMAX), 4, np.int32)
         T = np.full((N, TMAX), 4, np.int32)
         ql = np.zeros(N, np.int32)
         tl = np.zeros(N, np.int32)
-        h0 = np.zeros(N, np.int32)
+        h0 = np.ones(N, np.int32)  # padding lanes: h0>0, tlen=0 -> inert
         for i, j in enumerate(sub):
             Q[i, : len(j.query)] = j.query
             T[i, : len(j.target)] = j.target
@@ -284,28 +286,43 @@ class MemAligner:
     def seed_batch(self, seqs: list[np.ndarray]) -> list[list[tuple]]:
         """Device seeding; returns per-read seed lists
         [(qbeg, qend, rbeg, n_occ)] in (qend, SA-rank) order."""
-        B = len(seqs)
-        L = max(16, -(-max(len(s) for s in seqs) // 16) * 16)
+        B = bucket_count(len(seqs))
+        L = bucket_len(max(len(s) for s in seqs))
         reads = np.full((B, L), 4, np.int32)
         lens = np.zeros(B, np.int32)
         for i, s in enumerate(seqs):
             reads[i, : len(s)] = s
             lens[i] = len(s)
-        out = smem_seed_batch(self.fm, jnp.asarray(reads), jnp.asarray(lens),
-                              self.seed_cfg)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        # adaptive pool sizing: on overflow retry with doubled pools (the
+        # reference aborts instead, seed_gen.cu:2037-2042; a retry costs one
+        # extra launch and never silently unmaps tail reads)
+        from dataclasses import replace as _dc_replace
+        while True:
+            out = smem_seed_batch(self.fm, jnp.asarray(reads),
+                                  jnp.asarray(lens), self.seed_cfg)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            if not bool(out["overflow"]) or self.seed_cfg.cand_pool >= 4096:
+                break
+            import sys
+            self.seed_cfg = _dc_replace(
+                self.seed_cfg,
+                cand_pool=self.seed_cfg.cand_pool * 2,
+                seed_pool=self.seed_cfg.seed_pool * 2)
+            print(f"[bwamem-tpu] seed pool overflow; retrying with "
+                  f"cand_pool={self.seed_cfg.cand_pool}, "
+                  f"seed_pool={self.seed_cfg.seed_pool}", file=sys.stderr)
         if bool(out["overflow"]):
             import sys
-            print("[bwamem-tpu] warning: seed pool overflow; some seeds "
-                  "dropped (raise SeedConfig pools)", file=sys.stderr)
+            print("[bwamem-tpu] warning: seed pool overflow at max size; "
+                  "some seeds dropped", file=sys.stderr)
         n = int(out["n_seeds"])
         rid = out["read_id"][:n]
         cols = np.stack([out["qbeg"][:n], out["qend"][:n],
                          out["rbeg"][:n], out["n_occ"][:n]], axis=1)
-        bounds = np.searchsorted(rid, np.arange(B + 1))
+        bounds = np.searchsorted(rid, np.arange(len(seqs) + 1))
         return [
             [tuple(int(x) for x in row) for row in cols[bounds[b]:bounds[b + 1]]]
-            for b in range(B)
+            for b in range(len(seqs))
         ]
 
     def collect_regs_batch(

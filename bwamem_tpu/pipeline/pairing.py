@@ -211,9 +211,12 @@ def _matesw_apply(opt: MemOptions, l_pac: int, job: _SWJob, res: dict,
 
 def _run_sw_jobs(opt: MemOptions, jobs: list[_SWJob]) -> list[dict]:
     """One batched device launch for a rescue round."""
-    N = len(jobs)
-    QMAX = max(16, -(-max(len(j.seq) for j in jobs) // 16) * 16)
-    TMAX = max(16, -(-max(len(j.ref) for j in jobs) // 16) * 16)
+    from ..utils.shapes import bucket_count, bucket_len
+
+    n_real = len(jobs)
+    N = bucket_count(n_real)
+    QMAX = bucket_len(max(len(j.seq) for j in jobs))
+    TMAX = bucket_len(max(len(j.ref) for j in jobs))
     Q = np.full((N, QMAX), 4, np.int32)
     T = np.full((N, TMAX), 4, np.int32)
     ql = np.zeros(N, np.int32)
@@ -228,7 +231,7 @@ def _run_sw_jobs(opt: MemOptions, jobs: list[_SWJob]) -> list[dict]:
                          jnp.asarray(minsc), opt.o_del, opt.e_del,
                          opt.o_ins, opt.e_ins, opt.a)
     out = {k: np.asarray(v) for k, v in out.items()}
-    return [{k: out[k][i] for k in out} for i in range(N)]
+    return [{k: out[k][i] for k in out} for i in range(n_real)]
 
 
 def mem_pe_rescue_batch(opt: MemOptions, idx: FMIndex, pes: list[PEStat],

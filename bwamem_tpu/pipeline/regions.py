@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..index.format import FMIndex
-from ..oracle.ksw import ksw_global
+from ..ops.globalalign import ksw_global
 from .options import (MemOptions, MEM_MAPQ_COEF, PATCH_MAX_R_BW,
                       PATCH_MIN_SC_RATIO, hash_64)
 

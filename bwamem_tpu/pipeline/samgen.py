@@ -14,13 +14,16 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..index.format import FMIndex
-from ..oracle.ksw import ksw_global, CIGAR_M, CIGAR_I, CIGAR_D, CIGAR_S
+from ..oracle.ksw import CIGAR_M, CIGAR_I, CIGAR_D, CIGAR_S
+from ..ops.globalalign import ksw_global
 from .options import MemOptions, MEM_F_SOFTCLIP
 from .regions import AlnReg, mem_approx_mapq_se
 
 CIGAR_CHARS = "MIDSH"
 _FWD_BASES = "ACGTN"
 _REV_BASES = "TGCAN"
+_FWD_LUT = np.frombuffer(b"ACGTN", np.uint8)
+_REV_LUT = np.frombuffer(b"TGCAN", np.uint8)
 
 
 @dataclass
@@ -74,7 +77,7 @@ def gen_cigar(opt: MemOptions, idx: FMIndex, query: np.ndarray,
     mat = opt.mat
     if l_query == re - rb and w_ == 0:
         cigar = [(CIGAR_M, l_query)]
-        score = int(sum(int(mat[rseq[i], q[i]]) for i in range(l_query)))
+        score = int(mat[rseq, q].sum())
     else:
         max_ins = int((((l_query + 1) >> 1) * mat[0, 0] - opt.o_ins)
                       / opt.e_ins + 1.0)
@@ -93,14 +96,19 @@ def gen_cigar(opt: MemOptions, idx: FMIndex, query: np.ndarray,
     n_mm = n_gap = 0
     for k, (op, ln) in enumerate(cigar):
         if op == CIGAR_M:
-            for i in range(ln):
-                if q[x + i] != rseq[y + i]:
-                    md_parts.append(str(u))
-                    md_parts.append(int2base[int(rseq[y + i])])
-                    n_mm += 1
-                    u = 0
-                else:
-                    u += 1
+            mism = np.nonzero(q[x : x + ln] != rseq[y : y + ln])[0]
+            prev = -1
+            for i in mism:
+                i = int(i)
+                md_parts.append(str(u + i - prev - 1))
+                md_parts.append(int2base[int(rseq[y + i])])
+                prev = i
+                u = 0
+            n_mm += len(mism)
+            if len(mism):
+                u = ln - 1 - int(mism[-1])
+            else:
+                u += ln
             x += ln
             y += ln
         elif op == CIGAR_D:
@@ -307,10 +315,10 @@ def mem_aln2sam(opt: MemOptions, idx: FMIndex, name: str, seq: np.ndarray,
                 else:
                     qe -= cigar[-1][1]
         if not is_rev:
-            s_str = "".join(_FWD_BASES[int(c)] for c in seq[qb:qe])
+            s_str = _FWD_LUT[np.asarray(seq[qb:qe])].tobytes().decode()
             q_str = qual[qb:qe] if qual else "*"
         else:
-            s_str = "".join(_REV_BASES[int(c)] for c in seq[qb:qe][::-1])
+            s_str = _REV_LUT[np.asarray(seq[qb:qe][::-1])].tobytes().decode()
             q_str = qual[qb:qe][::-1] if qual else "*"
         out += [s_str, q_str if q_str else "*"]
 
