@@ -42,6 +42,8 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-p", action="store_true", dest="smart_pairing",
                    help="smart pairing: reads file is interleaved PE")
     p.add_argument("-Y", action="store_true", dest="softclip_supp")
+    p.add_argument("-F", action="store_true", dest="shd_filter",
+                   help="SHD (shifted-Hamming-distance) seed pre-filter")
     p.add_argument("-R", default=None, dest="rg_line",
                    help="read group header line such as '@RG\\tID:foo'")
     p.add_argument("-v", type=int, default=3, dest="verbosity")
@@ -140,6 +142,7 @@ def cmd_align(args) -> int:
     opt.zdrop = args.zdrop
     opt.max_occ = args.max_occ
     opt.chunk_size = args.chunk_size
+    opt.shd_filter = args.shd_filter
     if args.all_alignments:
         opt.flag |= MEM_F_ALL
     if args.softclip_supp:

@@ -331,17 +331,29 @@ class MemAligner:
         per bucket + L/R merge + dedup/patch. Equivalent of worker1 ->
         mem_align1_core output (reference: src/bwamem.c:2440-2449), before
         primary marking."""
+        from .seedflt import SeedFilterBatch
+
         opt, idx = self.opt, self.idx
         seeds = self.seed_batch(seqs)
 
+        # phase 1: chains + chain filter for every read; per-seed filter
+        # jobs accumulate for one batched launch (reference runs the filter
+        # per read inside worker1, src/bwamem.c:2071-2073)
+        per_read_chains: list[list] = []
+        flt = SeedFilterBatch(opt, idx)
+        for b, seq in enumerate(seqs):
+            chains = mem_chain(opt, idx, len(seq), seeds[b])
+            chains = mem_chain_flt(opt, chains)
+            flt.add_read(len(seq), seq, chains)
+            per_read_chains.append(chains)
+        flt.run()
+
+        # phase 2: extension-job construction, then one launch per bucket
         per_read_regs: list[list[AlnReg]] = []
         jobs: list[ExtJob] = []
         for b, seq in enumerate(seqs):
-            seed_list = seeds[b]
-            chains = mem_chain(opt, idx, len(seq), seed_list)
-            chains = mem_chain_flt(opt, chains)
             regs: list[AlnReg] = []
-            for c in chains:
+            for c in per_read_chains[b]:
                 chain2aln_jobs(opt, idx, len(seq), seq, c, regs, jobs)
             per_read_regs.append(regs)
 

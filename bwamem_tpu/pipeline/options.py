@@ -66,6 +66,7 @@ class MemOptions:
     flag: int = 0
     n_threads: int = 1
     opt_ext: bool = False      # fork decoy passes opt_ext=0 (src/bwamem.c:1891)
+    shd_filter: bool = False   # -F: SHD seed pre-filter (fork flag, src/bwamem.h:72)
 
     @classmethod
     def vanilla(cls) -> "MemOptions":
