@@ -44,6 +44,14 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-Y", action="store_true", dest="softclip_supp")
     p.add_argument("-F", action="store_true", dest="shd_filter",
                    help="SHD (shifted-Hamming-distance) seed pre-filter")
+    p.add_argument("-u", type=int, default=1, dest="seed_type",
+                   choices=(1, 2, 3, 4),
+                   help="seeding: 1=SMEM 2=fixed exact 3=forward MEM "
+                        "4=fixed <=1-mismatch")
+    p.add_argument("-J", type=int, default=0, dest="seed_intv",
+                   help="seed start interval for -u 2/4 [min_seed_len]")
+    p.add_argument("-g", action="store_true", dest="re_seed",
+                   help="all-MEM seeding (keep nested matches)")
     p.add_argument("-R", default=None, dest="rg_line",
                    help="read group header line such as '@RG\\tID:foo'")
     p.add_argument("-v", type=int, default=3, dest="verbosity")
@@ -143,6 +151,9 @@ def cmd_align(args) -> int:
     opt.max_occ = args.max_occ
     opt.chunk_size = args.chunk_size
     opt.shd_filter = args.shd_filter
+    opt.seed_type = args.seed_type
+    opt.seed_intv = args.seed_intv
+    opt.re_seed = args.re_seed
     if args.all_alignments:
         opt.flag |= MEM_F_ALL
     if args.softclip_supp:

@@ -50,11 +50,21 @@ class SeedConfig:
     cand_pool: int = 48    # candidate pool slots per read (global pool)
     seed_pool: int = 24    # expanded-seed pool slots per read (global pool)
     max_occ: int = 500     # subsample SMEMs above this occurrence count
+    mode: str = "smem"     # "smem" (default) | "mem" (-g: keep nested MEMs,
+    #                        reference GPUSeed is_smem=0 kernels,
+    #                        seed_gen.cu:758-812) | "fwdmem" (-u 3:
+    #                        forward-only MEMs, src/bwt.c:719 bwt_fwd_mem)
 
 
-def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len):
+def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len,
+                  emit_mode: str = "shrink"):
     """reads: (B, L) int32 codes (pad/amb = 4); lens: (B,).
-    Returns candidate fields, each (B, L+1): start, k, l, s, emit."""
+    Returns candidate fields, each (B, L+1): start, k, l, s, emit.
+
+    emit_mode "shrink": emit on every interval-size change (SMEM/mem
+    candidates for the backward pass). emit_mode "segment": emit only when
+    the walk dies (forward-only MEMs, reference src/bwt.c:719-769
+    bwt_fwd_mem — one maximal segment per restart)."""
     B, L = reads.shape
     reads_pad = jnp.concatenate(
         [reads, jnp.full((B, 1), 4, jnp.int32)], axis=1
@@ -74,8 +84,12 @@ def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len):
         okk, okl, oks = take(k4), take(l4), take(s4)
         oks = jnp.where(valid, oks, 0)
 
-        shrink = jnp.logical_and(active, oks != s)
-        emit = jnp.logical_and(shrink, i >= min_seed_len)
+        if emit_mode == "segment":
+            dies = jnp.logical_and(active, oks == 0)
+            emit = jnp.logical_and(dies, i - seg_start >= min_seed_len)
+        else:
+            shrink = jnp.logical_and(active, oks != s)
+            emit = jnp.logical_and(shrink, i >= min_seed_len)
         cand = (seg_start, k, s, emit)
 
         ext_ok = jnp.logical_and(valid, jnp.logical_and(active, oks > 0))
@@ -198,6 +212,21 @@ def _containment_filter(qbeg, qend, rid, valid, min_seed_len):
     return jnp.logical_and(keep, (qend - qbeg) >= min_seed_len)
 
 
+def _dup_filter(qbeg, rid, s, valid, qend, min_seed_len):
+    """mem mode (-g): keep nested MEMs; drop only adjacent duplicates with
+    the same (read, qbeg) and the same interval size (reference:
+    filter_seed_intervals_gpu_mem, seed_gen.cu:783-812; the count
+    subtraction of nested occurrence lists is skipped — duplicate
+    occurrences are contained seeds, absorbed by chaining's containment
+    test, src/bwamem.c:342-345)."""
+    nxt_rid = jnp.concatenate([rid[1:], jnp.full((1,), -1, rid.dtype)])
+    nxt_qb = jnp.concatenate([qbeg[1:], jnp.full((1,), -1, qbeg.dtype)])
+    nxt_s = jnp.concatenate([s[1:], jnp.zeros((1,), s.dtype)])
+    dup = (nxt_rid == rid) & (nxt_qb == qbeg) & (nxt_s == s)
+    keep = jnp.logical_and(valid, jnp.logical_not(dup))
+    return jnp.logical_and(keep, (qend - qbeg) >= min_seed_len)
+
+
 def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size, max_occ):
     P = qbeg.shape[0]
     s_v = jnp.where(keep, s, 0)
@@ -228,6 +257,96 @@ def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size, max_occ):
     )
 
 
+@partial(jax.jit,
+         static_argnames=("seed_len", "stride", "inexact", "seed_pool",
+                          "max_occ"))
+def bowtie_seed_batch(fm: DeviceFMIndex, reads, lens, seed_len: int,
+                      stride: int, inexact: bool, seed_pool: int = 24,
+                      max_occ: int = 500):
+    """Fixed-length exact (or <=1-mismatch) seeds at a start stride — the
+    -u 2 / -u 4 seed types (reference: src/bwt.c:593-624 bwt_bowtie_seed,
+    :627-718 bwt_bowtie_seed_inexact; dispatch src/bwamem.c:242-255 with
+    x += seed_intv).
+
+    The reference explores 1-mismatch alternatives with a LIFO stack per
+    start (latest position, then highest base wins); here every
+    (mismatch-position, base) branch walks in parallel as one more lane in
+    the (start, candidate) plane and the winner is an argmax over the same
+    priority key — no stack, no divergence.
+    """
+    reads = reads.astype(jnp.int32)
+    lens = lens.astype(jnp.int32)
+    B, L = reads.shape
+    S = max((L - seed_len) // stride + 1, 1)
+    NL = B * S
+    rid = jnp.repeat(jnp.arange(B, dtype=jnp.int32), S)
+    x0 = jnp.tile(jnp.arange(S, dtype=jnp.int32) * stride, B)
+    lane_ok = x0 + seed_len <= lens[rid]
+
+    if inexact:
+        tj = jnp.arange(seed_len * 3, dtype=jnp.int32)
+        ct = jnp.concatenate([tj // 3, jnp.full((1,), -1, jnp.int32)])
+        cj = jnp.concatenate([tj % 3, jnp.zeros((1,), jnp.int32)])
+    else:
+        ct = jnp.full((1,), -1, jnp.int32)  # exact only
+        cj = jnp.zeros((1,), jnp.int32)
+    C = ct.shape[0]
+
+    reads_flat = reads.reshape(-1)
+
+    def base_at(off):
+        return reads_flat[jnp.clip(rid * L + x0 + off, 0, B * L - 1)]
+
+    def chosen_base(rb, t):
+        """Candidate's base at offset t: the read base, or (at its own
+        mismatch offset) the cj-th base != read base."""
+        alt = cj[None, :] + (cj[None, :] >= rb[:, None]).astype(jnp.int32)
+        return jnp.where(ct[None, :] == t, alt,
+                         jnp.broadcast_to(rb[:, None], (NL, C)))
+
+    rb0 = base_at(0)
+    ch0 = chosen_base(rb0, 0)
+    k = fm.L2[ch0] + 1
+    l = fm.L2[3 - ch0] + 1
+    s = fm.L2[ch0 + 1] - fm.L2[ch0]
+    alive = (lane_ok & (rb0 < 4))[:, None] & (s >= 1)
+
+    ext4 = jax.vmap(lambda k_, l_, s_: fmops.forward_ext4(fm, k_, l_, s_))
+
+    def step(carry, t):
+        k, l, s, alive = carry
+        rb = base_at(t)
+        ch = chosen_base(rb, t)
+        kf, lf, sf = (a.reshape(-1) for a in (k, l, s))
+        k4, l4, s4 = ext4(jnp.where(alive.reshape(-1), kf, 0),
+                          jnp.where(alive.reshape(-1), lf, 0),
+                          jnp.where(alive.reshape(-1), sf, 1))
+        chf = jnp.clip(ch.reshape(-1), 0, 3)
+        take = lambda a: jnp.take_along_axis(
+            a, chf[:, None], axis=1)[:, 0].reshape(NL, C)
+        kn, ln, sn = take(k4), take(l4), take(s4)
+        alive = alive & (rb < 4)[:, None] & (sn >= 1)
+        k = jnp.where(alive, kn, k)
+        l = jnp.where(alive, ln, l)
+        s = jnp.where(alive, sn, s)
+        return (k, l, s, alive), None
+
+    (k, l, s, alive), _ = jax.lax.scan(
+        step, (k, l, s, alive), jnp.arange(1, seed_len, dtype=jnp.int32))
+
+    # priority: exact first (reference returns before touching the stack),
+    # else latest mismatch position, then highest alternate base (LIFO)
+    prio = jnp.where(ct[None, :] < 0, BIG, ct[None, :] * 4 + cj[None, :])
+    prio = jnp.where(alive, prio, -1)
+    best = jnp.argmax(prio, axis=1)
+    any_ok = jnp.max(prio, axis=1) >= 0
+    g = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
+    out = _expand_occurrences(
+        fm, rid, x0, x0 + seed_len, g(k), g(s), any_ok,
+        B * seed_pool, max_occ)
+    return out
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
                     cfg: SeedConfig = SeedConfig()):
@@ -242,13 +361,25 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
     reads = reads.astype(jnp.int32)
     lens = lens.astype(jnp.int32)
     B, L = reads.shape
-    start, k, s, emit = _forward_pass(fm, reads, lens, cfg.min_seed_len)
+    emit_mode = "segment" if cfg.mode == "fwdmem" else "shrink"
+    start, k, s, emit = _forward_pass(fm, reads, lens, cfg.min_seed_len,
+                                      emit_mode)
     end = jnp.broadcast_to(jnp.arange(L + 1, dtype=jnp.int32), (B, L + 1))
     cand_cap = B * cfg.cand_pool
     (start, end, k, s), rid, valid, c_over = _compact_global(
         (start, end, k, s), emit, cand_cap)
-    qbeg, k, s = _backward_pass(fm, reads, rid, start, k, s, valid)
-    keep = _containment_filter(qbeg, end, rid, valid, cfg.min_seed_len)
+    if cfg.mode == "fwdmem":
+        # forward-only MEMs: no left extension, segments are disjoint
+        qbeg = start
+        keep = jnp.logical_and(valid,
+                               end - qbeg >= cfg.min_seed_len)
+    else:
+        qbeg, k, s = _backward_pass(fm, reads, rid, start, k, s, valid)
+        if cfg.mode == "mem":
+            keep = _dup_filter(qbeg, rid, s, valid, end, cfg.min_seed_len)
+        else:
+            keep = _containment_filter(qbeg, end, rid, valid,
+                                       cfg.min_seed_len)
     out = _expand_occurrences(
         fm, rid, qbeg, end, k, s, keep, B * cfg.seed_pool, cfg.max_occ)
     out["overflow"] = jnp.logical_or(out["overflow"], c_over)

@@ -293,13 +293,32 @@ class MemAligner:
         for i, s in enumerate(seqs):
             reads[i, : len(s)] = s
             lens[i] = len(s)
+        opt = self.opt
+
+        def launch(cfg):
+            if opt.seed_type in (2, 4):
+                from ..ops.seeding import bowtie_seed_batch
+
+                return bowtie_seed_batch(
+                    self.fm, jnp.asarray(reads), jnp.asarray(lens),
+                    seed_len=opt.min_seed_len,
+                    stride=opt.seed_intv or opt.min_seed_len,
+                    inexact=(opt.seed_type == 4),
+                    seed_pool=cfg.seed_pool, max_occ=cfg.max_occ)
+            mode = ("fwdmem" if opt.seed_type == 3
+                    else "mem" if opt.re_seed else "smem")
+            if cfg.mode != mode:
+                from dataclasses import replace as _r
+                cfg = self.seed_cfg = _r(cfg, mode=mode)
+            return smem_seed_batch(self.fm, jnp.asarray(reads),
+                                   jnp.asarray(lens), cfg)
+
         # adaptive pool sizing: on overflow retry with doubled pools (the
         # reference aborts instead, seed_gen.cu:2037-2042; a retry costs one
         # extra launch and never silently unmaps tail reads)
         from dataclasses import replace as _dc_replace
         while True:
-            out = smem_seed_batch(self.fm, jnp.asarray(reads),
-                                  jnp.asarray(lens), self.seed_cfg)
+            out = launch(self.seed_cfg)
             out = {k: np.asarray(v) for k, v in out.items()}
             if not bool(out["overflow"]) or self.seed_cfg.cand_pool >= 4096:
                 break

@@ -67,6 +67,12 @@ class MemOptions:
     n_threads: int = 1
     opt_ext: bool = False      # fork decoy passes opt_ext=0 (src/bwamem.c:1891)
     shd_filter: bool = False   # -F: SHD seed pre-filter (fork flag, src/bwamem.h:72)
+    seed_type: int = 1         # -u: 1=SMEM 2=fixed exact 3=fwd MEM 4=fixed
+    #                            <=1-mismatch (fork, src/bwamem.c:136,240-255)
+    seed_intv: int = 0         # -J: start stride for -u 2/4; 0 = min_seed_len
+    #                            (fork default, src/bwamem.c:137)
+    re_seed: bool = False      # -g: all-MEM seeding (fork: GPUSeed is_smem=0,
+    #                            src/fastmap.c:442)
 
     @classmethod
     def vanilla(cls) -> "MemOptions":
