@@ -28,20 +28,35 @@ _MASK_TABLE = [0] + [
 _PAT = [0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF]
 
 
+def _prefix_mask(r_w):
+    """uint32 mask keeping the top 2*r_w bits, r_w in [0, 16] — computed
+    arithmetically: table lookups are gathers, and even 17-entry gathers
+    are slow on the TPU VPU."""
+    full = jnp.uint32(0xFFFFFFFF)
+    sh = jnp.clip(32 - 2 * r_w, 0, 31).astype(jnp.uint32)
+    m = (full << sh) & full
+    return jnp.where(r_w <= 0, jnp.uint32(0), m)
+
+
 def _count_codes_masked(words, r):
     """Count occurrences of each 2-bit code among the first `r` bases of a
     4-word (64-base) group. words: (4,) int32; r: scalar int32 in [0, 64].
     Returns (4,) int32."""
-    mask_table = jnp.asarray(_MASK_TABLE, dtype=jnp.uint32)
     w = words.astype(jnp.uint32)  # (4,)
     r_w = jnp.clip(r - 16 * jnp.arange(4, dtype=jnp.int32), 0, 16)
-    masks = mask_table[r_w]  # (4,)
-    pats = jnp.asarray(_PAT, dtype=jnp.uint32)  # (4,)
+    masks = _prefix_mask(r_w)  # (4,)
+    pats = jnp.asarray(_PAT, dtype=jnp.uint32)  # (4,) static iota pattern
     x = w[None, :] ^ pats[:, None]          # (code, word)
     y = ~x
     pairs = y & (y >> 1) & jnp.uint32(0x55555555)
     pairs = pairs & masks[None, :]
     return jax.lax.population_count(pairs).sum(axis=1).astype(jnp.int32)
+
+
+def _select4(vec4, c):
+    """vec4[c] for c in 0..3 without a gather (compare + sum on the VPU)."""
+    sel = (jnp.arange(4, dtype=jnp.int32) == c).astype(vec4.dtype)
+    return (vec4 * sel).sum()
 
 
 def occ4(fm: DeviceFMIndex, i):
@@ -59,19 +74,42 @@ def occ1(fm: DeviceFMIndex, i, c):
     """Count of base c in BWT$[0:i] — single-code fast path (4x less
     popcount work than occ4; the backward walk and SA walk only ever need
     one code)."""
-    mask_table = jnp.asarray(_MASK_TABLE, dtype=jnp.uint32)
-    pats = jnp.asarray(_PAT, dtype=jnp.uint32)
     j = i - (i > fm.primary).astype(jnp.int32)
     blk = j >> 6
     r = j & 63
     row = fm.occ_blocks[blk]
     w = row[4:].astype(jnp.uint32)
     r_w = jnp.clip(r - 16 * jnp.arange(4, dtype=jnp.int32), 0, 16)
-    x = w ^ pats[c]
+    c = jnp.asarray(c, jnp.int32)
+    pat = c.astype(jnp.uint32) * jnp.uint32(0x55555555)
+    x = w ^ pat
     y = ~x
     pairs = y & (y >> 1) & jnp.uint32(0x55555555)
-    pairs = pairs & mask_table[r_w]
-    return row[c] + jax.lax.population_count(pairs).sum().astype(jnp.int32)
+    pairs = pairs & _prefix_mask(r_w)
+    base = _select4(row[:4].astype(jnp.int32), c)
+    return base + jax.lax.population_count(pairs).sum().astype(jnp.int32)
+
+
+def lf(fm: DeviceFMIndex, row):
+    """LF mapping over BWT$ rows; LF(primary) = 0. One row gather serves
+    both the BWT symbol and the rank."""
+    j = row - (row > fm.primary).astype(jnp.int32)
+    blk = j >> 6
+    r = j & 63
+    occ_row = fm.occ_blocks[blk]
+    w4 = occ_row[4:].astype(jnp.uint32)
+    word = _select4(w4.astype(jnp.int32), r >> 4).astype(jnp.uint32)
+    c = ((word >> (30 - 2 * (r & 15)).astype(jnp.uint32)) & 3).astype(jnp.int32)
+    # rank of c among the first r bases of this block
+    r_w = jnp.clip(r - 16 * jnp.arange(4, dtype=jnp.int32), 0, 16)
+    pat = c.astype(jnp.uint32) * jnp.uint32(0x55555555)
+    y = ~(w4 ^ pat)
+    pairs = y & (y >> 1) & jnp.uint32(0x55555555) & _prefix_mask(r_w)
+    occ_c = (_select4(occ_row[:4].astype(jnp.int32), c)
+             + jax.lax.population_count(pairs).sum().astype(jnp.int32))
+    l2c = _select4(fm.L2[:4].astype(jnp.int32), c)
+    dest = l2c + 1 + occ_c
+    return jnp.where(row == fm.primary, jnp.int32(0), dest)
 
 
 def bwt_char(fm: DeviceFMIndex, row):
@@ -79,15 +117,9 @@ def bwt_char(fm: DeviceFMIndex, row):
     j = row - (row > fm.primary).astype(jnp.int32)
     blk = j >> 6
     r = j & 63
-    w = fm.occ_blocks[blk, 4 + (r >> 4)].astype(jnp.uint32)
-    return ((w >> (30 - 2 * (r & 15))) & 3).astype(jnp.int32)
-
-
-def lf(fm: DeviceFMIndex, row):
-    """LF mapping over BWT$ rows; LF(primary) = 0."""
-    c = bwt_char(fm, row)
-    dest = fm.L2[c] + 1 + occ1(fm, row, c)
-    return jnp.where(row == fm.primary, jnp.int32(0), dest)
+    w4 = fm.occ_blocks[blk][4:].astype(jnp.int32)
+    w = _select4(w4, r >> 4).astype(jnp.uint32)
+    return ((w >> (30 - 2 * (r & 15)).astype(jnp.uint32)) & 3).astype(jnp.int32)
 
 
 def backward_ext_ks(fm: DeviceFMIndex, k, s, c):
@@ -96,7 +128,40 @@ def backward_ext_ks(fm: DeviceFMIndex, k, s, c):
     whose output (k, s) feeds SA lookups and occurrence counts."""
     ok = occ1(fm, k, c)
     ol = occ1(fm, k + s, c)
-    return fm.L2[c] + 1 + ok, ol - ok
+    l2c = _select4(fm.L2[:4].astype(jnp.int32), jnp.asarray(c, jnp.int32))
+    return l2c + 1 + ok, ol - ok
+
+
+def backward_ext_ks_batch(fm: DeviceFMIndex, k, s, c):
+    """Batched backward_ext_ks over (P,) arrays with the two rank gathers
+    fused into ONE row-gather pass (dependent gather passes serialize at
+    ~5 ms each on TPU; independent ones overlap, so one 2P-row pass beats
+    two P-row passes — the reference fuses the same pair into shared cache
+    lines, seed_gen.cu:160-272 find_occ_gpu)."""
+    P = k.shape[0]
+    i2 = jnp.concatenate([k, k + s])                     # (2P,)
+    j = i2 - (i2 > fm.primary).astype(jnp.int32)
+    blk = j >> 6
+    r = j & 63
+    rows = fm.occ_blocks[blk]                            # (2P, 8) one pass
+    w = rows[:, 4:].astype(jnp.uint32)                   # (2P, 4)
+    r_w = jnp.clip(r[:, None] - 16 * jnp.arange(4, dtype=jnp.int32)[None, :],
+                   0, 16)
+    c2 = jnp.concatenate([c, c]).astype(jnp.uint32)
+    pat = (c2 * jnp.uint32(0x55555555))[:, None]
+    y = ~(w ^ pat)
+    full = jnp.uint32(0xFFFFFFFF)
+    sh = jnp.clip(32 - 2 * r_w, 0, 31).astype(jnp.uint32)
+    masks = jnp.where(r_w <= 0, jnp.uint32(0), (full << sh) & full)
+    pairs = y & (y >> 1) & jnp.uint32(0x55555555) & masks
+    pc = jax.lax.population_count(pairs).sum(axis=1).astype(jnp.int32)
+    sel = (jnp.arange(4, dtype=jnp.int32)[None, :] == c[:, None])
+    base = jnp.where(jnp.concatenate([sel, sel]),
+                     rows[:, :4].astype(jnp.int32), 0).sum(axis=1)
+    occ = base + pc
+    ok, ol = occ[:P], occ[P:]
+    l2c = jnp.where(sel, fm.L2[:4].astype(jnp.int32)[None, :], 0).sum(axis=1)
+    return l2c + 1 + ok, ol - ok
 
 
 def backward_ext4(fm: DeviceFMIndex, k, l, s):
