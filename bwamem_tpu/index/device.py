@@ -21,9 +21,14 @@ from .format import FMIndex
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class DeviceFMIndex:
-    occ_blocks: jax.Array      # (n_blocks, 8) int32
+    occ_blocks: jax.Array      # (n_blocks + n_sblocks, 8) int32 —
+    #   rows [0, n_occ): occ checkpoints + packed bases;
+    #   rows [n_occ, ..): sampled-SA bitmap blocks padded to width 8
+    #   (single table so one fused gather pass serves the LF walk's occ
+    #   row AND the sampled-row test — dependent gather passes serialize
+    #   at fixed latency on TPU, see ops/fm.py)
     L2: jax.Array              # (5,) int32
-    ssa_blocks: jax.Array      # (n_sblocks, 4) int32
+    n_occ_blocks: jax.Array    # () int32 — offset of the SSA rows
     ssa_vals: jax.Array        # (n_sampled,) int32
     pac_words: jax.Array       # (ceil(l_pac/16),) int32
     primary: jax.Array         # () int32
@@ -31,13 +36,22 @@ class DeviceFMIndex:
     l_pac: jax.Array           # () int32
     sa_intv: int = field(metadata=dict(static=True), default=8)
 
+    @property
+    def ssa_blocks(self):
+        """(n_sblocks, 4) view for host-style access (tests/oracles)."""
+        return self.occ_blocks[self.n_occ_blocks:, :4]
+
     @classmethod
     def from_host(cls, idx: FMIndex, device=None) -> "DeviceFMIndex":
         put = lambda a: jax.device_put(jnp.asarray(a), device)
+        occ = idx.occ_blocks.view(np.int32)
+        ssa = idx.ssa_blocks.view(np.int32)
+        ssa8 = np.zeros((ssa.shape[0], 8), np.int32)
+        ssa8[:, : ssa.shape[1]] = ssa
         return cls(
-            occ_blocks=put(idx.occ_blocks.view(np.int32)),
+            occ_blocks=put(np.concatenate([occ, ssa8], axis=0)),
             L2=put(idx.L2.astype(np.int32)),
-            ssa_blocks=put(idx.ssa_blocks.view(np.int32)),
+            n_occ_blocks=put(np.int32(occ.shape[0])),
             ssa_vals=put(idx.ssa_vals.view(np.int32)),
             pac_words=put(idx.pac_words.view(np.int32)),
             primary=put(np.int32(idx.primary)),

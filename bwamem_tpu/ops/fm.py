@@ -196,14 +196,113 @@ def set_intv(fm: DeviceFMIndex, c):
     return k, l, s
 
 
+def sa_lookup_batch(fm: DeviceFMIndex, rows):
+    """Batched SA$ lookup over (P,) rows: fixed-trip LF walk where each
+    trip issues ONE fused gather pass (occ row for LF + sampled-SA bitmap
+    row, both living in the combined fm.occ_blocks table), and the
+    ssa_vals gather is deferred to a single pass after the loop."""
+    P = rows.shape[0]
+    four = jnp.arange(4, dtype=jnp.int32)[None, :]
+
+    def trip(carry, step):
+        r, rank_hit, step_hit, done = carry
+        j = r - (r > fm.primary).astype(jnp.int32)
+        idx2 = jnp.concatenate([j >> 6, fm.n_occ_blocks + (r >> 6)])
+        rows2 = fm.occ_blocks[idx2]              # ONE pass (2P, 8)
+        occ_row, ssa_row = rows2[:P], rows2[P:]
+        # sampled test + rank (bitmap of sampled rows, 64 rows/block)
+        off = r & 63
+        lo = ssa_row[:, 1].astype(jnp.uint32)
+        hi = ssa_row[:, 2].astype(jnp.uint32)
+        word = jnp.where(off < 32, lo, hi)
+        bit = (word >> (off & 31).astype(jnp.uint32)) & 1
+        below_lo = lo & ((jnp.uint32(1)
+                          << jnp.clip(off, 0, 31).astype(jnp.uint32)) - 1)
+        below_lo = jnp.where(off >= 32, lo, below_lo)
+        below_hi = jnp.where(
+            off > 32,
+            hi & ((jnp.uint32(1)
+                   << jnp.clip(off - 32, 0, 31).astype(jnp.uint32)) - 1),
+            jnp.uint32(0))
+        rank = (ssa_row[:, 0]
+                + jax.lax.population_count(below_lo).astype(jnp.int32)
+                + jax.lax.population_count(below_hi).astype(jnp.int32))
+        hit = jnp.logical_and(bit == 1, jnp.logical_not(done))
+        rank_hit = jnp.where(hit, rank, rank_hit)
+        step_hit = jnp.where(hit, step, step_hit)
+        done = jnp.logical_or(done, hit)
+        # LF from the already-gathered occ row
+        w4 = occ_row[:, 4:].astype(jnp.uint32)
+        rr = j & 63
+        word_i = rr >> 4
+        w = jnp.where((four == word_i[:, None]),
+                      w4.astype(jnp.int32), 0).sum(axis=1).astype(jnp.uint32)
+        c = ((w >> (30 - 2 * (rr & 15)).astype(jnp.uint32)) & 3).astype(jnp.int32)
+        r_w = jnp.clip(rr[:, None] - 16 * four, 0, 16)
+        pat = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))[:, None]
+        y = ~(w4 ^ pat)
+        full = jnp.uint32(0xFFFFFFFF)
+        sh = jnp.clip(32 - 2 * r_w, 0, 31).astype(jnp.uint32)
+        masks = jnp.where(r_w <= 0, jnp.uint32(0), (full << sh) & full)
+        pairs = y & (y >> 1) & jnp.uint32(0x55555555) & masks
+        occ_c = (jnp.where(four == c[:, None],
+                           occ_row[:, :4].astype(jnp.int32), 0).sum(axis=1)
+                 + jax.lax.population_count(pairs).sum(axis=1).astype(jnp.int32))
+        l2c = jnp.where(four == c[:, None],
+                        fm.L2[:4].astype(jnp.int32)[None, :], 0).sum(axis=1)
+        dest = jnp.where(r == fm.primary, 0, l2c + 1 + occ_c)
+        r = jnp.where(done, r, dest)
+        return (r, rank_hit, step_hit, done), None
+
+    init = (rows, jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.int32),
+            jnp.zeros(P, jnp.bool_))
+    (r, rank_hit, step_hit, _), _ = jax.lax.scan(
+        trip, init, jnp.arange(fm.sa_intv, dtype=jnp.int32))
+    return fm.ssa_vals[rank_hit] + step_hit   # one deferred pass
+
+
+def forward_ext4_batch(fm: DeviceFMIndex, k, l, s):
+    """Batched forward extension over (P,) bi-intervals with the two rank
+    gathers fused into ONE pass. Returns (k4, l4, s4), each (P, 4),
+    indexed by the appended base."""
+    P = k.shape[0]
+    i2 = jnp.concatenate([l, l + s])
+    j = i2 - (i2 > fm.primary).astype(jnp.int32)
+    rows = fm.occ_blocks[j >> 6]                  # ONE pass (2P, 8)
+    r = j & 63
+    w = rows[:, 4:].astype(jnp.uint32)            # (2P, 4)
+    r_w = jnp.clip(r[:, None] - 16 * jnp.arange(4, dtype=jnp.int32)[None, :],
+                   0, 16)
+    full = jnp.uint32(0xFFFFFFFF)
+    sh = jnp.clip(32 - 2 * r_w, 0, 31).astype(jnp.uint32)
+    masks = jnp.where(r_w <= 0, jnp.uint32(0), (full << sh) & full)
+    pats = (jnp.arange(4, dtype=jnp.uint32)
+            * jnp.uint32(0x55555555))[None, :, None]   # (1, code, 1)
+    y = ~(w[:, None, :] ^ pats)
+    pairs = y & (y >> 1) & jnp.uint32(0x55555555) & masks[:, None, :]
+    pc = jax.lax.population_count(pairs).sum(axis=2).astype(jnp.int32)
+    occ = rows[:, :4].astype(jnp.int32) + pc      # (2P, 4)
+    ok, ol = occ[:P], occ[P:]
+    cnt = ol - ok                                  # (P, 4) per prepended c
+    cnt_sent = jnp.logical_and(l <= fm.primary, fm.primary < l + s)
+    # backward_ext4 on the revcomp side (swap k/l), then flip base order
+    bk4 = fm.L2[:4].astype(jnp.int32)[None, :] + 1 + ok
+    suffix = (jnp.cumsum(cnt[:, ::-1], axis=1)[:, ::-1] - cnt)
+    bl4 = k[:, None] + cnt_sent[:, None].astype(jnp.int32) + suffix
+    bs4 = cnt
+    return bl4[:, ::-1], bk4[:, ::-1], bs4[:, ::-1]
+
+
 def sa_lookup(fm: DeviceFMIndex, row):
     """SA$[row] via a fixed-trip LF walk to a text-position-sampled row.
-    Bounded by sa_intv steps (sampling by SA value guarantees it)."""
+    Bounded by sa_intv steps (sampling by SA value guarantees it).
+    Scalar reference version (vmappable); the hot path uses
+    sa_lookup_batch."""
 
     def sampled_rank(r):
         blk = r >> 6
         off = r & 63
-        b = fm.ssa_blocks[blk]
+        b = fm.occ_blocks[fm.n_occ_blocks + blk]  # SSA row of combined table
         lo = b[1].astype(jnp.uint32)
         hi = b[2].astype(jnp.uint32)
         word = jnp.where(off < 32, lo, hi)

@@ -70,7 +70,10 @@ def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len,
         [reads, jnp.full((B, 1), 4, jnp.int32)], axis=1
     )
 
-    ext4 = jax.vmap(lambda k, l, s: fmops.forward_ext4(fm, k, l, s))
+    four = jnp.arange(4, dtype=jnp.int32)[None, :]
+
+    def _sel4(m, c):  # m: (B, 4), c: (B,) -> m[i, c[i]] without a gather
+        return jnp.where(four == c[:, None], m, 0).sum(axis=1)
 
     def step(carry, i):
         k, l, s, seg_start = carry
@@ -79,9 +82,10 @@ def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len,
         valid = jnp.logical_and(i < lens, base < 4)
         active = s > 0
 
-        k4, l4, s4 = ext4(k, l, s)
-        take = lambda a: jnp.take_along_axis(a, base_c[:, None], axis=1)[:, 0]
-        okk, okl, oks = take(k4), take(l4), take(s4)
+        k4, l4, s4 = fmops.forward_ext4_batch(fm, k, l, s)
+        okk = _sel4(k4, base_c)
+        okl = _sel4(l4, base_c)
+        oks = _sel4(s4, base_c)
         oks = jnp.where(valid, oks, 0)
 
         if emit_mode == "segment":
@@ -94,9 +98,12 @@ def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len,
 
         ext_ok = jnp.logical_and(valid, jnp.logical_and(active, oks > 0))
         restart = jnp.logical_and(valid, jnp.logical_not(ext_ok))
-        ik = fm.L2[base_c] + 1
-        il = fm.L2[3 - base_c] + 1
-        is_ = fm.L2[base_c + 1] - fm.L2[base_c]
+        L2f = fm.L2[:4].astype(jnp.int32)[None, :]
+        L2n = fm.L2[1:5].astype(jnp.int32)[None, :]
+        ik = _sel4(jnp.broadcast_to(L2f, (B, 4)), base_c) + 1
+        il = _sel4(jnp.broadcast_to(L2f, (B, 4)), 3 - base_c) + 1
+        is_ = (_sel4(jnp.broadcast_to(L2n, (B, 4)), base_c)
+               - (ik - 1))
         k_n = jnp.where(ext_ok, okk, jnp.where(restart, ik, 0))
         l_n = jnp.where(ext_ok, okl, jnp.where(restart, il, 0))
         s_n = jnp.where(ext_ok, oks, jnp.where(restart, is_, 0))
@@ -266,13 +273,19 @@ def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size, max_occ):
     cum_excl = cum - count
 
     t = jnp.arange(pool_size, dtype=jnp.int32)
-    cand = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    # slot -> candidate mapping via scatter + cummax (searchsorted costs
+    # ~log2(P) dependent gather passes; this is two passes)
+    idx = jnp.arange(P, dtype=jnp.int32)
+    dst = jnp.where(count > 0, cum_excl, pool_size)
+    marks = jnp.zeros(pool_size + 1, jnp.int32).at[
+        jnp.clip(dst, 0, pool_size)].max(idx + 1)[:pool_size]
+    cand = jax.lax.associative_scan(jnp.maximum, marks) - 1
     cand = jnp.clip(cand, 0, P - 1)
     seed_valid = t < jnp.minimum(total, pool_size)
     off = t - cum_excl[cand]
     g = lambda a: a[cand]
     rows = jnp.where(seed_valid, g(k) + off * g(step), 0)
-    rbeg = jax.vmap(lambda r: fmops.sa_lookup(fm, r))(rows)
+    rbeg = fmops.sa_lookup_batch(fm, rows)
     return dict(
         read_id=jnp.where(seed_valid, g(rid), -1),
         rbeg=jnp.where(seed_valid, rbeg, -1),

@@ -65,7 +65,7 @@ def _fm_proto():
     """Pytree prototype with the same structure as DeviceFMIndex."""
     z = jnp.zeros((1,), jnp.int32)
     return DeviceFMIndex(
-        occ_blocks=z, L2=z, ssa_blocks=z, ssa_vals=z, pac_words=z,
+        occ_blocks=z, L2=z, n_occ_blocks=z, ssa_vals=z, pac_words=z,
         primary=z, seq_len=z, l_pac=z,
     )
 
