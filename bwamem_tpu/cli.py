@@ -21,14 +21,22 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
                    help="mate FASTA/FASTQ for paired-end")
     p.add_argument("-t", type=int, default=1, dest="n_threads",
                    help="host worker threads")
-    p.add_argument("-k", type=int, default=19, dest="min_seed_len")
+    p.add_argument("-k", type=int, default=None, dest="min_seed_len")
     p.add_argument("-w", type=int, default=300, dest="band_width")
-    p.add_argument("-A", type=int, default=1, dest="match")
-    p.add_argument("-B", type=int, default=4, dest="mismatch")
-    p.add_argument("-O", default="6,6", dest="gap_open")
-    p.add_argument("-E", default="1,1", dest="gap_ext")
-    p.add_argument("-L", default="5,5", dest="clip_pen")
+    p.add_argument("-A", type=int, default=None, dest="match")
+    p.add_argument("-B", type=int, default=None, dest="mismatch")
+    p.add_argument("-O", default=None, dest="gap_open")
+    p.add_argument("-E", default=None, dest="gap_ext")
+    p.add_argument("-L", default=None, dest="clip_pen")
     p.add_argument("-T", type=int, default=30, dest="min_score")
+    p.add_argument("-W", type=int, default=None, dest="min_chain_weight")
+    p.add_argument("-x", default=None, dest="read_type",
+                   choices=("intractg", "pacbio", "pbref", "ont2d"),
+                   help="read-type presets (gap/mismatch/seed profiles)")
+    p.add_argument("-e", type=int, default=0, dest="dp_type",
+                   choices=(0, 1, 2, 3),
+                   help="extension algorithm selector (fork -e flag; all "
+                        "values run the batched device ksw-extend path)")
     p.add_argument("-d", type=int, default=0, dest="zdrop")
     p.add_argument("-c", type=int, default=500, dest="max_occ")
     p.add_argument("-K", type=int, default=10_000_000, dest="chunk_size")
@@ -133,20 +141,73 @@ def cmd_align(args) -> int:
     from .utils.timing import Timings
 
     opt = MemOptions.vanilla() if args.vanilla else MemOptions()
-    opt.min_seed_len = args.min_seed_len
     opt.w = args.band_width if not args.vanilla or args.band_width != 300 \
         else opt.w
-    opt.a = args.match
-    opt.b = args.mismatch
 
     def _pair(v):
         parts = str(v).split(",")
         return (int(parts[0]), int(parts[1] if len(parts) > 1 else parts[0]))
 
-    opt.o_del, opt.o_ins = _pair(args.gap_open)
-    opt.e_del, opt.e_ins = _pair(args.gap_ext)
-    opt.pen_clip5, opt.pen_clip3 = _pair(args.clip_pen)
+    # user-set values first, then -x profile fills what the user left
+    # unset (reference: src/fastmap.c:351-380 mode block + update_a)
+    if args.min_seed_len is not None:
+        opt.min_seed_len = args.min_seed_len
+    if args.match is not None:
+        opt.a = args.match
+    if args.mismatch is not None:
+        opt.b = args.mismatch
+    if args.gap_open is not None:
+        opt.o_del, opt.o_ins = _pair(args.gap_open)
+    if args.gap_ext is not None:
+        opt.e_del, opt.e_ins = _pair(args.gap_ext)
+    if args.clip_pen is not None:
+        opt.pen_clip5, opt.pen_clip3 = _pair(args.clip_pen)
+    if args.min_chain_weight is not None:
+        opt.min_chain_weight = args.min_chain_weight
+    prof = args.read_type
+    if prof == "intractg":
+        if args.gap_open is None:
+            opt.o_del = opt.o_ins = 16
+        if args.mismatch is None:
+            opt.b = 9
+        if args.clip_pen is None:
+            opt.pen_clip5 = opt.pen_clip3 = 5
+    elif prof in ("pacbio", "pbref", "ont2d"):
+        if args.gap_open is None:
+            opt.o_del = opt.o_ins = 1
+        if args.gap_ext is None:
+            opt.e_del = opt.e_ins = 1
+        if args.mismatch is None:
+            opt.b = 1
+        opt.split_factor = 10.0
+        if args.min_chain_weight is None:
+            opt.min_chain_weight = 20 if prof == "ont2d" else 40
+        if args.min_seed_len is None:
+            opt.min_seed_len = 14 if prof == "ont2d" else 17
+        if args.clip_pen is None:
+            opt.pen_clip5 = opt.pen_clip3 = 0
+    elif args.match is not None and args.match != 1:
+        # -A alone rescales unset dependent penalties (update_a)
+        if args.mismatch is None:
+            opt.b *= opt.a
+        if args.gap_open is None:
+            opt.o_del *= opt.a
+            opt.o_ins *= opt.a
+        if args.gap_ext is None:
+            opt.e_del *= opt.a
+            opt.e_ins *= opt.a
+        if args.clip_pen is None:
+            opt.pen_clip5 *= opt.a
+            opt.pen_clip3 *= opt.a
+        opt.zdrop *= opt.a
+        opt.pen_unpaired *= opt.a
+        opt.T *= opt.a
     opt.T = args.min_score
+    opt.dp_type = args.dp_type
+    if args.dp_type in (1, 2):
+        print("[bwamem-tpu] note: -e 1/2 select CPU DP paths in the "
+              "reference; the batched device ksw-extend path is used",
+              file=sys.stderr)
     opt.zdrop = args.zdrop
     opt.max_occ = args.max_occ
     opt.chunk_size = args.chunk_size

@@ -158,7 +158,9 @@ def chain2aln_jobs(opt: MemOptions, idx: FMIndex, l_query: int,
                 h0=h0, reg=a, side=RIGHT))
         a.align_sides = (lql > 0) + (rql > 0)
         if a.align_sides == 0:  # seed spans the whole read
-            a.score = a.truesc = s.score
+            # reference: s->score < 0 ? s->len * opt->a : s->score
+            a.score = a.truesc = (s.score if s.sw_scored
+                                  else s.len * opt.a)
             a.qb, a.qe = 0, l_query
             a.rb, a.re = s.rbeg, s.rbeg + s.len
             a.seedcov = sum(

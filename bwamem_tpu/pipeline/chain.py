@@ -22,6 +22,8 @@ class Seed:
     qbeg: int
     len: int
     score: int  # initially = len (occurrence count lives on the group head)
+    sw_scored: bool = False  # True once the SW seed filter set a real score
+    #   (reference keeps score=-1 until mem_seed_sw, src/bwamem.c:982)
 
 
 @dataclass

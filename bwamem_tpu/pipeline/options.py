@@ -73,6 +73,9 @@ class MemOptions:
     #                            (fork default, src/bwamem.c:137)
     re_seed: bool = False      # -g: all-MEM seeding (fork: GPUSeed is_smem=0,
     #                            src/fastmap.c:442)
+    dp_type: int = 0           # -e: extension algorithm selector (fork,
+    #                            src/bwamem.h:70; informational here — all
+    #                            values use the batched device ksw path)
 
     @classmethod
     def vanilla(cls) -> "MemOptions":

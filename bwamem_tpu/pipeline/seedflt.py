@@ -183,6 +183,7 @@ class SeedFilterBatch:
                 drop.setdefault(id(j.chain), set()).add(j.seed_idx)
             else:
                 j.chain.seeds[j.seed_idx].score = sc
+                j.chain.seeds[j.seed_idx].sw_scored = True
         self._apply_drops(drop, {id(j.chain): j.chain for j in jobs})
         self.sw_jobs.clear()
 
