@@ -24,3 +24,11 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Rows/positions of large genomes need >32 bits (human fwd+rev ~2^32.5;
+# reference threads 33-bit positions via split words, seed_gen.cu:530-531).
+# XLA lowers int64 to int32 pairs on TPU; only row/position arrays are
+# int64 — counts, codes and lane indices stay int32.
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)

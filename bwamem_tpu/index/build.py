@@ -151,7 +151,14 @@ def build_index_from_codes(
     ssa_blocks[:, 1] = bits_lo.astype(np.uint32)
     ssa_blocks[:, 2] = bits_hi.astype(np.uint32)
     ssa_blocks[:, 3] = 0
-    ssa_vals = sa_full[sampled].astype(np.uint32)
+    # split SA values: uint32 low words + uint8 upper bits (the reference
+    # packs upper bits the same way for >4G-position genomes,
+    # bwa_index/bwt.c:88-148; uint8 covers seq_len < 2^40)
+    sampled_vals = sa_full[sampled]
+    ssa_vals = (sampled_vals & 0xFFFFFFFF).astype(np.uint32)
+    ssa_vals_hi = (sampled_vals >> 32).astype(np.uint8)
+
+    assert seq_len < (1 << 33), "genomes above 2^33 doubled bases unsupported"
 
     return FMIndex(
         l_pac=l_pac,
@@ -162,6 +169,7 @@ def build_index_from_codes(
         occ_blocks=occ_blocks,
         ssa_blocks=ssa_blocks,
         ssa_vals=ssa_vals,
+        ssa_vals_hi=ssa_vals_hi,
         pac_words=pack_2bit(fwd),
         ann=ann,
     )

@@ -28,9 +28,10 @@ seq_len = 2*l_pac, single terminal sentinel (excluded from the stored BWT;
 bwa). Ambiguous bases are replaced by seeded-random ACGT in pac/BWT and
 recorded in `ambs` (reference: bns_fasta2bntseq behavior).
 
-v1 limit: seq_len < 2^31 (uint32/int32 everywhere on device). Genomes above
-~1 Gbp need the split-word position scheme (reference packs upper SA bits,
-bwa_index/bwt.c:88-116); planned, not yet implemented.
+Positions/rows are 64-bit on device (XLA x64; rows up to 2^33 supported —
+human fwd+rev ~6.2 Gbp). Sampled SA values are stored split: uint32 low
+words + uint8 upper bits (the reference's packed-upper-bits scheme,
+bwa_index/bwt.c:88-116).
 """
 from __future__ import annotations
 
@@ -79,9 +80,10 @@ class FMIndex:
     L2: np.ndarray        # int64[5]: L2[0]=0, L2[c+1]=L2[c]+count(c) over BWT
     occ_blocks: np.ndarray   # (n_blocks, 8) uint32
     ssa_blocks: np.ndarray   # (n_sblocks, 4) uint32
-    ssa_vals: np.ndarray     # (n_sampled,) uint32
+    ssa_vals: np.ndarray     # (n_sampled,) uint32 low words
     pac_words: np.ndarray    # (ceil(l_pac/16),) uint32
     ann: Annotation
+    ssa_vals_hi: np.ndarray | None = None  # (n_sampled,) uint8 bits >= 32
 
     # ---------- host-side reference fetching ----------
 
@@ -154,6 +156,8 @@ class FMIndex:
             occ_blocks=self.occ_blocks,
             ssa_blocks=self.ssa_blocks,
             ssa_vals=self.ssa_vals,
+            ssa_vals_hi=(self.ssa_vals_hi if self.ssa_vals_hi is not None
+                         else np.zeros(len(self.ssa_vals), np.uint8)),
             pac_words=self.pac_words,
         )
 
@@ -178,6 +182,8 @@ class FMIndex:
                 occ_blocks=z["occ_blocks"],
                 ssa_blocks=z["ssa_blocks"],
                 ssa_vals=z["ssa_vals"],
+                ssa_vals_hi=(z["ssa_vals_hi"] if "ssa_vals_hi" in z
+                             else np.zeros(len(z["ssa_vals"]), np.uint8)),
                 pac_words=z["pac_words"],
                 ann=ann,
             )

@@ -8,222 +8,318 @@ row gather (occ checkpoint + 64 packed bases) followed by masked 2-bit
 popcounts on the VPU; the SA walk is a fixed-trip LF loop bounded by the
 text-position sampling interval (see index/format.py).
 
-All functions are written for scalar ints and vmapped — XLA batches the
-gathers. Positions/counts are int32 (seq_len < 2^31 enforced at build).
+Width conventions (genome scale: human fwd+rev needs 33-bit rows; the
+reference threads split 33-bit positions through its kernels,
+seed_gen.cu:530-531,943):
+  * BWT rows / text positions / interval sizes / L2: int64 (XLA lowers to
+    int32 pairs on TPU; these are a small share of the work — gathers
+    dominate);
+  * occ block indices (row >> 6, < 2^27): int32 — gather indices stay
+    narrow;
+  * per-block checkpoint counts: uint32 in memory (each base's global
+    count < 2^32), widened to int64 after the popcount.
+
+Performance notes baked into the shapes (measured on the target chip):
+dependent gather passes serialize at ~5 ms each regardless of fan-in, so
+rank pairs are fused into single passes; tiny-table lookups (a 4-entry
+L2, a 17-entry mask table) also lower to gathers and are computed
+arithmetically instead.
 """
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from ..index.device import DeviceFMIndex
 
-# mask_table[r] = uint32 mask keeping the top 2*r bits (bases 0..r-1 of a word)
-_MASK_TABLE = [0] + [
-    (0xFFFFFFFF << (32 - 2 * r)) & 0xFFFFFFFF for r in range(1, 17)
-]
 # 2-bit code c replicated 16x
 _PAT = [0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF]
+
+_I64 = jnp.int64
+_U32 = jnp.uint32
+
+
+
+def idx_dt(fm):
+    """Row/position dtype for this index: int64 only when needed."""
+    return jnp.int64 if fm.wide else jnp.int32
+
+
+def _prim(fm):
+    return fm.primary.astype(idx_dt(fm))
+
+
+def _L2(fm):
+    return fm.L2.astype(idx_dt(fm))
 
 
 def _prefix_mask(r_w):
     """uint32 mask keeping the top 2*r_w bits, r_w in [0, 16] — computed
-    arithmetically: table lookups are gathers, and even 17-entry gathers
-    are slow on the TPU VPU."""
-    full = jnp.uint32(0xFFFFFFFF)
-    sh = jnp.clip(32 - 2 * r_w, 0, 31).astype(jnp.uint32)
+    arithmetically (table lookups are gathers; even 17-entry gathers are
+    slow on the TPU VPU)."""
+    full = _U32(0xFFFFFFFF)
+    sh = jnp.clip(32 - 2 * r_w, 0, 31).astype(_U32)
     m = (full << sh) & full
-    return jnp.where(r_w <= 0, jnp.uint32(0), m)
-
-
-def _count_codes_masked(words, r):
-    """Count occurrences of each 2-bit code among the first `r` bases of a
-    4-word (64-base) group. words: (4,) int32; r: scalar int32 in [0, 64].
-    Returns (4,) int32."""
-    w = words.astype(jnp.uint32)  # (4,)
-    r_w = jnp.clip(r - 16 * jnp.arange(4, dtype=jnp.int32), 0, 16)
-    masks = _prefix_mask(r_w)  # (4,)
-    pats = jnp.asarray(_PAT, dtype=jnp.uint32)  # (4,) static iota pattern
-    x = w[None, :] ^ pats[:, None]          # (code, word)
-    y = ~x
-    pairs = y & (y >> 1) & jnp.uint32(0x55555555)
-    pairs = pairs & masks[None, :]
-    return jax.lax.population_count(pairs).sum(axis=1).astype(jnp.int32)
+    return jnp.where(r_w <= 0, _U32(0), m)
 
 
 def _select4(vec4, c):
     """vec4[c] for c in 0..3 without a gather (compare + sum on the VPU)."""
     sel = (jnp.arange(4, dtype=jnp.int32) == c).astype(vec4.dtype)
-    return (vec4 * sel).sum()
+    return (vec4 * sel).sum(dtype=vec4.dtype)
+
+
+def _row_base_counts(row, dt=_I64):
+    """Checkpoint counts of a gathered occ row (stored uint32), widened to
+    the index dtype."""
+    return row[..., :4].astype(_U32).astype(dt)
+
+
+def _blk_of(j):
+    """Occ block index of adjusted row j (int64) as an int32 gather index."""
+    return (j >> 6).astype(jnp.int32)
+
+
+def _count_codes_masked(words, r):
+    """Count occurrences of each 2-bit code among the first `r` bases of a
+    4-word (64-base) group. words: (4,) int32; r: scalar int in [0, 64].
+    Returns (4,) int64."""
+    w = words.astype(_U32)  # (4,)
+    r_w = jnp.clip(jnp.asarray(r, jnp.int32)
+                   - 16 * jnp.arange(4, dtype=jnp.int32), 0, 16)
+    masks = _prefix_mask(r_w)  # (4,)
+    pats = jnp.asarray(_PAT, dtype=_U32)  # (4,)
+    x = w[None, :] ^ pats[:, None]          # (code, word)
+    y = ~x
+    pairs = y & (y >> 1) & _U32(0x55555555)
+    pairs = pairs & masks[None, :]
+    return jax.lax.population_count(pairs).sum(axis=1).astype(_I64)
 
 
 def occ4(fm: DeviceFMIndex, i):
-    """Counts of bases 0..3 in BWT$[0:i] (sentinel excluded). i: int32
-    scalar in [0, seq_len+1]."""
-    j = i - (i > fm.primary).astype(jnp.int32)
-    blk = j >> 6
-    r = j & 63
-    row = fm.occ_blocks[blk]  # (8,)
-    base_cnt = row[:4]
-    return base_cnt + _count_codes_masked(row[4:], r)
+    """Counts of bases 0..3 in BWT$[0:i] (sentinel excluded). i: scalar in
+    [0, seq_len+1]. Returns (4,) index-dtype."""
+    dt = idx_dt(fm)
+    i = jnp.asarray(i, dt)
+    j = i - (i > _prim(fm)).astype(dt)
+    row = fm.occ_blocks[_blk_of(j)]  # (8,)
+    return _row_base_counts(row, dt) + _count_codes_masked(
+        row[4:], (j & 63).astype(jnp.int32)).astype(dt)
 
 
 def occ1(fm: DeviceFMIndex, i, c):
-    """Count of base c in BWT$[0:i] — single-code fast path (4x less
-    popcount work than occ4; the backward walk and SA walk only ever need
-    one code)."""
-    j = i - (i > fm.primary).astype(jnp.int32)
-    blk = j >> 6
-    r = j & 63
-    row = fm.occ_blocks[blk]
-    w = row[4:].astype(jnp.uint32)
+    """Count of base c in BWT$[0:i] — single-code fast path."""
+    dt = idx_dt(fm)
+    i = jnp.asarray(i, dt)
+    j = i - (i > _prim(fm)).astype(dt)
+    row = fm.occ_blocks[_blk_of(j)]
+    r = (j & 63).astype(jnp.int32)
+    w = row[4:].astype(_U32)
     r_w = jnp.clip(r - 16 * jnp.arange(4, dtype=jnp.int32), 0, 16)
     c = jnp.asarray(c, jnp.int32)
-    pat = c.astype(jnp.uint32) * jnp.uint32(0x55555555)
-    x = w ^ pat
-    y = ~x
-    pairs = y & (y >> 1) & jnp.uint32(0x55555555)
+    pat = c.astype(_U32) * _U32(0x55555555)
+    y = ~(w ^ pat)
+    pairs = y & (y >> 1) & _U32(0x55555555)
     pairs = pairs & _prefix_mask(r_w)
-    base = _select4(row[:4].astype(jnp.int32), c)
-    return base + jax.lax.population_count(pairs).sum().astype(jnp.int32)
+    base = _select4(_row_base_counts(row, dt), c)
+    return base + jax.lax.population_count(pairs).sum().astype(dt)
 
 
 def lf(fm: DeviceFMIndex, row):
     """LF mapping over BWT$ rows; LF(primary) = 0. One row gather serves
     both the BWT symbol and the rank."""
-    j = row - (row > fm.primary).astype(jnp.int32)
-    blk = j >> 6
-    r = j & 63
-    occ_row = fm.occ_blocks[blk]
-    w4 = occ_row[4:].astype(jnp.uint32)
-    word = _select4(w4.astype(jnp.int32), r >> 4).astype(jnp.uint32)
-    c = ((word >> (30 - 2 * (r & 15)).astype(jnp.uint32)) & 3).astype(jnp.int32)
-    # rank of c among the first r bases of this block
+    dt = idx_dt(fm)
+    row = jnp.asarray(row, dt)
+    j = row - (row > _prim(fm)).astype(dt)
+    occ_row = fm.occ_blocks[_blk_of(j)]
+    r = (j & 63).astype(jnp.int32)
+    w4 = occ_row[4:].astype(_U32)
+    word = _select4(w4.astype(jnp.int32), r >> 4).astype(_U32)
+    c = ((word >> (30 - 2 * (r & 15)).astype(_U32)) & 3).astype(jnp.int32)
     r_w = jnp.clip(r - 16 * jnp.arange(4, dtype=jnp.int32), 0, 16)
-    pat = c.astype(jnp.uint32) * jnp.uint32(0x55555555)
+    pat = c.astype(_U32) * _U32(0x55555555)
     y = ~(w4 ^ pat)
-    pairs = y & (y >> 1) & jnp.uint32(0x55555555) & _prefix_mask(r_w)
-    occ_c = (_select4(occ_row[:4].astype(jnp.int32), c)
-             + jax.lax.population_count(pairs).sum().astype(jnp.int32))
-    l2c = _select4(fm.L2[:4].astype(jnp.int32), c)
+    pairs = y & (y >> 1) & _U32(0x55555555) & _prefix_mask(r_w)
+    occ_c = (_select4(_row_base_counts(occ_row, dt), c)
+             + jax.lax.population_count(pairs).sum().astype(dt))
+    l2c = _select4(_L2(fm)[:4], c)
     dest = l2c + 1 + occ_c
-    return jnp.where(row == fm.primary, jnp.int32(0), dest)
+    return jnp.where(row == _prim(fm), dt(0), dest)
 
 
 def bwt_char(fm: DeviceFMIndex, row):
     """BWT$ symbol at `row` (0..3; caller handles row == primary)."""
-    j = row - (row > fm.primary).astype(jnp.int32)
-    blk = j >> 6
-    r = j & 63
-    w4 = fm.occ_blocks[blk][4:].astype(jnp.int32)
-    w = _select4(w4, r >> 4).astype(jnp.uint32)
-    return ((w >> (30 - 2 * (r & 15)).astype(jnp.uint32)) & 3).astype(jnp.int32)
+    dt = idx_dt(fm)
+    row = jnp.asarray(row, dt)
+    j = row - (row > _prim(fm)).astype(dt)
+    r = (j & 63).astype(jnp.int32)
+    w4 = fm.occ_blocks[_blk_of(j)][4:].astype(jnp.int32)
+    w = _select4(w4, r >> 4).astype(_U32)
+    return ((w >> (30 - 2 * (r & 15)).astype(_U32)) & 3).astype(jnp.int32)
 
 
 def backward_ext_ks(fm: DeviceFMIndex, k, s, c):
     """Backward extension of the k-side interval only (prepend base c).
-    The l-side is not maintained — sufficient for the backward SMEM walk,
-    whose output (k, s) feeds SA lookups and occurrence counts."""
+    Scalar reference version; the hot path uses backward_ext_ks_batch."""
+    dt = idx_dt(fm)
     ok = occ1(fm, k, c)
-    ol = occ1(fm, k + s, c)
-    l2c = _select4(fm.L2[:4].astype(jnp.int32), jnp.asarray(c, jnp.int32))
+    ol = occ1(fm, jnp.asarray(k, dt) + jnp.asarray(s, dt), c)
+    l2c = _select4(_L2(fm)[:4], jnp.asarray(c, jnp.int32))
     return l2c + 1 + ok, ol - ok
+
+
+def _occ_pair_rows(fm: DeviceFMIndex, a, b):
+    """Gather occ rows for row-indices a and b (each (P,) int64) in ONE
+    fused pass. Returns (rows_a, rows_b, r_a, r_b) with r_* the in-block
+    offsets (int32)."""
+    i2 = jnp.concatenate([a, b])
+    j = i2 - (i2 > _prim(fm)).astype(i2.dtype)
+    rows = fm.occ_blocks[_blk_of(j)]
+    r = (j & 63).astype(jnp.int32)
+    P = a.shape[0]
+    return rows[:P], rows[P:], r[:P], r[P:]
+
+
+def _rank1(rows, r, c, dt=_I64):
+    """Count of code c among the first r bases of each gathered row.
+    rows: (P, 8) int32; r, c: (P,) int32. Returns (P,) dt."""
+    w = rows[:, 4:].astype(_U32)
+    r_w = jnp.clip(r[:, None] - 16 * jnp.arange(4, dtype=jnp.int32)[None, :],
+                   0, 16)
+    pat = (c.astype(_U32) * _U32(0x55555555))[:, None]
+    y = ~(w ^ pat)
+    pairs = y & (y >> 1) & _U32(0x55555555) & _prefix_mask(r_w)
+    pc = jax.lax.population_count(pairs).sum(axis=1).astype(dt)
+    sel = (jnp.arange(4, dtype=jnp.int32)[None, :] == c[:, None])
+    base = jnp.where(sel, _row_base_counts(rows, dt), 0).sum(
+        axis=1, dtype=dt)
+    return base + pc
 
 
 def backward_ext_ks_batch(fm: DeviceFMIndex, k, s, c):
-    """Batched backward_ext_ks over (P,) arrays with the two rank gathers
-    fused into ONE row-gather pass (dependent gather passes serialize at
-    ~5 ms each on TPU; independent ones overlap, so one 2P-row pass beats
-    two P-row passes — the reference fuses the same pair into shared cache
-    lines, seed_gen.cu:160-272 find_occ_gpu)."""
-    P = k.shape[0]
-    i2 = jnp.concatenate([k, k + s])                     # (2P,)
-    j = i2 - (i2 > fm.primary).astype(jnp.int32)
-    blk = j >> 6
-    r = j & 63
-    rows = fm.occ_blocks[blk]                            # (2P, 8) one pass
-    w = rows[:, 4:].astype(jnp.uint32)                   # (2P, 4)
-    r_w = jnp.clip(r[:, None] - 16 * jnp.arange(4, dtype=jnp.int32)[None, :],
-                   0, 16)
-    c2 = jnp.concatenate([c, c]).astype(jnp.uint32)
-    pat = (c2 * jnp.uint32(0x55555555))[:, None]
-    y = ~(w ^ pat)
-    full = jnp.uint32(0xFFFFFFFF)
-    sh = jnp.clip(32 - 2 * r_w, 0, 31).astype(jnp.uint32)
-    masks = jnp.where(r_w <= 0, jnp.uint32(0), (full << sh) & full)
-    pairs = y & (y >> 1) & jnp.uint32(0x55555555) & masks
-    pc = jax.lax.population_count(pairs).sum(axis=1).astype(jnp.int32)
-    sel = (jnp.arange(4, dtype=jnp.int32)[None, :] == c[:, None])
-    base = jnp.where(jnp.concatenate([sel, sel]),
-                     rows[:, :4].astype(jnp.int32), 0).sum(axis=1)
-    occ = base + pc
-    ok, ol = occ[:P], occ[P:]
-    l2c = jnp.where(sel, fm.L2[:4].astype(jnp.int32)[None, :], 0).sum(axis=1)
+    """Batched backward_ext_ks over (P,) int64 intervals with the two rank
+    gathers fused into ONE row-gather pass (dependent passes serialize;
+    the reference fuses the same pair into shared cache lines,
+    seed_gen.cu:160-272 find_occ_gpu)."""
+    dt = idx_dt(fm)
+    k = k.astype(dt)
+    s = s.astype(dt)
+    rows_k, rows_ks, r_k, r_ks = _occ_pair_rows(fm, k, k + s)
+    c32 = c.astype(jnp.int32)
+    ok = _rank1(rows_k, r_k, c32, dt)
+    ol = _rank1(rows_ks, r_ks, c32, dt)
+    sel = (jnp.arange(4, dtype=jnp.int32)[None, :] == c32[:, None])
+    l2c = jnp.where(sel, _L2(fm)[:4][None, :], 0).sum(axis=1, dtype=dt)
     return l2c + 1 + ok, ol - ok
 
 
+def _rank4(rows, r, dt=_I64):
+    """Counts of all 4 codes among the first r bases of each gathered row.
+    rows: (P, 8); r: (P,) int32. Returns (P, 4) dt."""
+    w = rows[:, 4:].astype(_U32)
+    r_w = jnp.clip(r[:, None] - 16 * jnp.arange(4, dtype=jnp.int32)[None, :],
+                   0, 16)
+    masks = _prefix_mask(r_w)
+    pats = (jnp.arange(4, dtype=_U32) * _U32(0x55555555))[None, :, None]
+    y = ~(w[:, None, :] ^ pats)
+    pairs = y & (y >> 1) & _U32(0x55555555) & masks[:, None, :]
+    pc = jax.lax.population_count(pairs).sum(axis=2).astype(dt)
+    return _row_base_counts(rows, dt) + pc
+
+
 def backward_ext4(fm: DeviceFMIndex, k, l, s):
-    """All four backward extensions of bi-interval (k, l, s).
-    Returns (k4, l4, s4), each (4,) int32, index = prepended base."""
+    """All four backward extensions of bi-interval (k, l, s). Scalar
+    reference version. Returns (k4, l4, s4), each (4,) int64."""
+    dt = idx_dt(fm)
+    k = jnp.asarray(k, dt)
+    l = jnp.asarray(l, dt)
+    s = jnp.asarray(s, dt)
     ok = occ4(fm, k)
     ol = occ4(fm, k + s)
     cnt = ol - ok
-    cnt_sent = jnp.logical_and(k <= fm.primary, fm.primary < k + s)
-    cnt_sent = cnt_sent.astype(jnp.int32)
-    k4 = fm.L2[:4] + 1 + ok
+    cnt_sent = jnp.logical_and(k <= _prim(fm), _prim(fm) < k + s)
+    k4 = _L2(fm)[:4] + 1 + ok
     s4 = cnt
-    # l'(c) = l + cnt_sent + sum_{b > c} cnt[b]
-    suffix = jnp.cumsum(cnt[::-1])[::-1] - cnt  # sum of cnt[c+1:]
-    l4 = l + cnt_sent + suffix
+    suffix = jnp.cumsum(cnt[::-1], dtype=cnt.dtype)[::-1] - cnt
+    l4 = l + cnt_sent.astype(dt) + suffix
     return k4, l4, s4
 
 
 def forward_ext4(fm: DeviceFMIndex, k, l, s):
-    """All four forward extensions (append base b). Returns (k4, l4, s4),
-    index = appended base."""
+    """All four forward extensions (append base b). Scalar reference
+    version. Returns (k4, l4, s4), index = appended base."""
     bk4, bl4, bs4 = backward_ext4(fm, l, k, s)
-    # appended base b corresponds to prepending comp(b) on the revcomp side
     return bl4[::-1], bk4[::-1], bs4[::-1]
+
+
+def forward_ext4_batch(fm: DeviceFMIndex, k, l, s):
+    """Batched forward extension over (P,) int64 bi-intervals, both rank
+    gathers fused into ONE pass. Returns (k4, l4, s4), each (P, 4)."""
+    dt = idx_dt(fm)
+    k = k.astype(dt)
+    l = l.astype(dt)
+    s = s.astype(dt)
+    rows_l, rows_ls, r_l, r_ls = _occ_pair_rows(fm, l, l + s)
+    ok = _rank4(rows_l, r_l, dt)
+    ol = _rank4(rows_ls, r_ls, dt)
+    cnt = ol - ok                                  # (P, 4) per prepended c
+    cnt_sent = jnp.logical_and(l <= _prim(fm), _prim(fm) < l + s)
+    bk4 = _L2(fm)[:4][None, :] + 1 + ok
+    suffix = (jnp.cumsum(cnt[:, ::-1], axis=1, dtype=cnt.dtype)[:, ::-1]
+              - cnt)
+    bl4 = k[:, None] + cnt_sent[:, None].astype(dt) + suffix
+    bs4 = cnt
+    return bl4[:, ::-1], bk4[:, ::-1], bs4[:, ::-1]
 
 
 def set_intv(fm: DeviceFMIndex, c):
     """Initial bi-interval of single base c (c in 0..3)."""
-    k = fm.L2[c] + 1
-    l = fm.L2[3 - c] + 1
-    s = fm.L2[c + 1] - fm.L2[c]
+    L2 = _L2(fm)
+    k = L2[c] + 1
+    l = L2[3 - c] + 1
+    s = L2[c + 1] - L2[c]
     return k, l, s
 
 
+def _ssa_combine(fm: DeviceFMIndex, rank, step):
+    """Sampled-SA value: uint32 low word + uint8 upper bits + walk steps."""
+    dt = idx_dt(fm)
+    lo = fm.ssa_vals[rank].astype(_U32).astype(dt)
+    if fm.wide:
+        hi = fm.ssa_vals_hi[rank].astype(dt)
+        lo = (hi << 32) | lo
+    return lo + step.astype(dt)
+
+
 def sa_lookup_batch(fm: DeviceFMIndex, rows):
-    """Batched SA$ lookup over (P,) rows: fixed-trip LF walk where each
-    trip issues ONE fused gather pass (occ row for LF + sampled-SA bitmap
-    row, both living in the combined fm.occ_blocks table), and the
-    ssa_vals gather is deferred to a single pass after the loop."""
+    """Batched SA$ lookup over (P,) int64 rows: fixed-trip LF walk where
+    each trip issues ONE fused gather pass (occ row for LF + sampled-SA
+    bitmap row, both in the combined fm.occ_blocks table); the ssa_vals
+    gather is deferred to a single pass after the loop."""
     P = rows.shape[0]
     four = jnp.arange(4, dtype=jnp.int32)[None, :]
+    dt = idx_dt(fm)
+    rows = rows.astype(dt)
 
     def trip(carry, step):
         r, rank_hit, step_hit, done = carry
-        j = r - (r > fm.primary).astype(jnp.int32)
-        idx2 = jnp.concatenate([j >> 6, fm.n_occ_blocks + (r >> 6)])
+        j = r - (r > _prim(fm)).astype(dt)
+        idx2 = jnp.concatenate(
+            [_blk_of(j), fm.n_occ_blocks + (r >> 6).astype(jnp.int32)])
         rows2 = fm.occ_blocks[idx2]              # ONE pass (2P, 8)
         occ_row, ssa_row = rows2[:P], rows2[P:]
         # sampled test + rank (bitmap of sampled rows, 64 rows/block)
-        off = r & 63
-        lo = ssa_row[:, 1].astype(jnp.uint32)
-        hi = ssa_row[:, 2].astype(jnp.uint32)
+        off = (r & 63).astype(jnp.int32)
+        lo = ssa_row[:, 1].astype(_U32)
+        hi = ssa_row[:, 2].astype(_U32)
         word = jnp.where(off < 32, lo, hi)
-        bit = (word >> (off & 31).astype(jnp.uint32)) & 1
-        below_lo = lo & ((jnp.uint32(1)
-                          << jnp.clip(off, 0, 31).astype(jnp.uint32)) - 1)
+        bit = (word >> (off & 31).astype(_U32)) & 1
+        below_lo = lo & ((_U32(1) << jnp.clip(off, 0, 31).astype(_U32)) - 1)
         below_lo = jnp.where(off >= 32, lo, below_lo)
         below_hi = jnp.where(
             off > 32,
-            hi & ((jnp.uint32(1)
-                   << jnp.clip(off - 32, 0, 31).astype(jnp.uint32)) - 1),
-            jnp.uint32(0))
+            hi & ((_U32(1) << jnp.clip(off - 32, 0, 31).astype(_U32)) - 1),
+            _U32(0))
         rank = (ssa_row[:, 0]
                 + jax.lax.population_count(below_lo).astype(jnp.int32)
                 + jax.lax.population_count(below_hi).astype(jnp.int32))
@@ -232,25 +328,16 @@ def sa_lookup_batch(fm: DeviceFMIndex, rows):
         step_hit = jnp.where(hit, step, step_hit)
         done = jnp.logical_or(done, hit)
         # LF from the already-gathered occ row
-        w4 = occ_row[:, 4:].astype(jnp.uint32)
-        rr = j & 63
-        word_i = rr >> 4
-        w = jnp.where((four == word_i[:, None]),
-                      w4.astype(jnp.int32), 0).sum(axis=1).astype(jnp.uint32)
-        c = ((w >> (30 - 2 * (rr & 15)).astype(jnp.uint32)) & 3).astype(jnp.int32)
-        r_w = jnp.clip(rr[:, None] - 16 * four, 0, 16)
-        pat = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))[:, None]
-        y = ~(w4 ^ pat)
-        full = jnp.uint32(0xFFFFFFFF)
-        sh = jnp.clip(32 - 2 * r_w, 0, 31).astype(jnp.uint32)
-        masks = jnp.where(r_w <= 0, jnp.uint32(0), (full << sh) & full)
-        pairs = y & (y >> 1) & jnp.uint32(0x55555555) & masks
-        occ_c = (jnp.where(four == c[:, None],
-                           occ_row[:, :4].astype(jnp.int32), 0).sum(axis=1)
-                 + jax.lax.population_count(pairs).sum(axis=1).astype(jnp.int32))
-        l2c = jnp.where(four == c[:, None],
-                        fm.L2[:4].astype(jnp.int32)[None, :], 0).sum(axis=1)
-        dest = jnp.where(r == fm.primary, 0, l2c + 1 + occ_c)
+        rr = (j & 63).astype(jnp.int32)
+        w4 = occ_row[:, 4:].astype(jnp.int32)
+        w = jnp.where(four == (rr >> 4)[:, None], w4, 0).sum(
+            axis=1, dtype=jnp.int32)
+        w = w.astype(_U32)
+        c = ((w >> (30 - 2 * (rr & 15)).astype(_U32)) & 3).astype(jnp.int32)
+        occ_c = _rank1(occ_row, rr, c, dt)
+        sel = four == c[:, None]
+        l2c = jnp.where(sel, _L2(fm)[:4][None, :], 0).sum(axis=1, dtype=dt)
+        dest = jnp.where(r == _prim(fm), dt(0), l2c + 1 + occ_c)
         r = jnp.where(done, r, dest)
         return (r, rank_hit, step_hit, done), None
 
@@ -258,61 +345,28 @@ def sa_lookup_batch(fm: DeviceFMIndex, rows):
             jnp.zeros(P, jnp.bool_))
     (r, rank_hit, step_hit, _), _ = jax.lax.scan(
         trip, init, jnp.arange(fm.sa_intv, dtype=jnp.int32))
-    return fm.ssa_vals[rank_hit] + step_hit   # one deferred pass
-
-
-def forward_ext4_batch(fm: DeviceFMIndex, k, l, s):
-    """Batched forward extension over (P,) bi-intervals with the two rank
-    gathers fused into ONE pass. Returns (k4, l4, s4), each (P, 4),
-    indexed by the appended base."""
-    P = k.shape[0]
-    i2 = jnp.concatenate([l, l + s])
-    j = i2 - (i2 > fm.primary).astype(jnp.int32)
-    rows = fm.occ_blocks[j >> 6]                  # ONE pass (2P, 8)
-    r = j & 63
-    w = rows[:, 4:].astype(jnp.uint32)            # (2P, 4)
-    r_w = jnp.clip(r[:, None] - 16 * jnp.arange(4, dtype=jnp.int32)[None, :],
-                   0, 16)
-    full = jnp.uint32(0xFFFFFFFF)
-    sh = jnp.clip(32 - 2 * r_w, 0, 31).astype(jnp.uint32)
-    masks = jnp.where(r_w <= 0, jnp.uint32(0), (full << sh) & full)
-    pats = (jnp.arange(4, dtype=jnp.uint32)
-            * jnp.uint32(0x55555555))[None, :, None]   # (1, code, 1)
-    y = ~(w[:, None, :] ^ pats)
-    pairs = y & (y >> 1) & jnp.uint32(0x55555555) & masks[:, None, :]
-    pc = jax.lax.population_count(pairs).sum(axis=2).astype(jnp.int32)
-    occ = rows[:, :4].astype(jnp.int32) + pc      # (2P, 4)
-    ok, ol = occ[:P], occ[P:]
-    cnt = ol - ok                                  # (P, 4) per prepended c
-    cnt_sent = jnp.logical_and(l <= fm.primary, fm.primary < l + s)
-    # backward_ext4 on the revcomp side (swap k/l), then flip base order
-    bk4 = fm.L2[:4].astype(jnp.int32)[None, :] + 1 + ok
-    suffix = (jnp.cumsum(cnt[:, ::-1], axis=1)[:, ::-1] - cnt)
-    bl4 = k[:, None] + cnt_sent[:, None].astype(jnp.int32) + suffix
-    bs4 = cnt
-    return bl4[:, ::-1], bk4[:, ::-1], bs4[:, ::-1]
+    return _ssa_combine(fm, rank_hit, step_hit)   # one deferred pass
 
 
 def sa_lookup(fm: DeviceFMIndex, row):
     """SA$[row] via a fixed-trip LF walk to a text-position-sampled row.
-    Bounded by sa_intv steps (sampling by SA value guarantees it).
     Scalar reference version (vmappable); the hot path uses
     sa_lookup_batch."""
 
     def sampled_rank(r):
-        blk = r >> 6
-        off = r & 63
+        blk = (r >> 6).astype(jnp.int32)
+        off = (r & 63).astype(jnp.int32)
         b = fm.occ_blocks[fm.n_occ_blocks + blk]  # SSA row of combined table
-        lo = b[1].astype(jnp.uint32)
-        hi = b[2].astype(jnp.uint32)
+        lo = b[1].astype(_U32)
+        hi = b[2].astype(_U32)
         word = jnp.where(off < 32, lo, hi)
-        bit = (word >> (off & 31).astype(jnp.uint32)) & 1
-        below_lo = lo & ((jnp.uint32(1) << jnp.clip(off, 0, 31).astype(jnp.uint32)) - 1)
+        bit = (word >> (off & 31).astype(_U32)) & 1
+        below_lo = lo & ((_U32(1) << jnp.clip(off, 0, 31).astype(_U32)) - 1)
         below_lo = jnp.where(off >= 32, lo, below_lo)
         below_hi = jnp.where(
             off > 32,
-            hi & ((jnp.uint32(1) << jnp.clip(off - 32, 0, 31).astype(jnp.uint32)) - 1),
-            jnp.uint32(0),
+            hi & ((_U32(1) << jnp.clip(off - 32, 0, 31).astype(_U32)) - 1),
+            _U32(0),
         )
         rank = (
             b[0]
@@ -325,12 +379,14 @@ def sa_lookup(fm: DeviceFMIndex, row):
         r, val, done = carry
         is_samp, rank = sampled_rank(r)
         hit = jnp.logical_and(is_samp == 1, jnp.logical_not(done))
-        val = jnp.where(hit, fm.ssa_vals[rank] + step, val)
+        val = jnp.where(hit, _ssa_combine(fm, rank, step), val)
         done = jnp.logical_or(done, hit)
         r_next = jnp.where(done, r, lf(fm, r))
         return r_next, val, done
 
+    dt = idx_dt(fm)
     _, val, _ = jax.lax.fori_loop(
-        0, fm.sa_intv, body, (row, jnp.int32(0), jnp.bool_(False))
+        0, fm.sa_intv, body,
+        (jnp.asarray(row, dt), dt(0), jnp.bool_(False))
     )
     return val

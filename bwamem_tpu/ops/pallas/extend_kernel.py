@@ -45,8 +45,18 @@ def _prefix_max_exclusive(x, width):
 
 def _make_kernel(QP, TMAX, a, b, o_del, e_del, o_ins, e_ins, w, zdrop,
                  end_bonus, opt_ext):
-    oe_del = o_del + e_del
-    oe_ins = o_ins + e_ins
+    # pin all closure scalars to int32: with jax_enable_x64 on, Python ints
+    # promote to int64, which Mosaic cannot lower (and trips a promotion
+    # recursion); the DP itself is int32 throughout
+    import numpy as _np
+
+    a, b = _np.int32(a), _np.int32(b)
+    o_del, e_del = _np.int32(o_del), _np.int32(e_del)
+    o_ins, e_ins = _np.int32(o_ins), _np.int32(e_ins)
+    w, zdrop = _np.int32(w), _np.int32(zdrop)
+    end_bonus = _np.int32(end_bonus)
+    oe_del = _np.int32(o_del + e_del)
+    oe_ins = _np.int32(o_ins + e_ins)
 
     def kernel(q_ref, t_ref, meta_ref, out_ref):
         # q_ref: (TILE, QP) query codes at columns u>=1 (col u holds q[u-1])
@@ -181,22 +191,25 @@ def _extend_pallas_impl(query, target, meta, params_tuple, tile, interpret):
     kernel = _make_kernel(QP, TMAX, a, b, o_del, e_del, o_ins, e_ins, w,
                           zdrop, end_bonus, opt_ext)
     grid = (N // tile,)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((N, 8), jnp.int32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile, QP), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, TMAX), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile, 8), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(query, target, meta)
+    # trace the pallas_call with x64 OFF: the kernel is int32 throughout,
+    # and Mosaic's int64 convert lowering recurses on x64 index arithmetic
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((N, 8), jnp.int32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, QP), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, TMAX), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, 8), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(query, target, meta)
     return out
 
 

@@ -15,15 +15,21 @@ from ..index.device import DeviceFMIndex
 
 
 def gather_bases(fm: DeviceFMIndex, pos):
-    """Base codes at doubled-coordinate positions `pos` (any shape int32).
+    """Base codes at doubled-coordinate positions `pos` (any shape int;
+    positions are int64 — genomes can exceed 2^31 doubled bases).
     Invalid (out of [0, 2*l_pac)) positions -> 4."""
-    lp = fm.l_pac
+    from .fm import idx_dt
+
+    dt = idx_dt(fm)
+    lp = fm.l_pac.astype(dt)
+    pos = pos.astype(dt)
     valid = jnp.logical_and(pos >= 0, pos < 2 * lp)
     is_rev = pos >= lp
     fpos = jnp.where(is_rev, 2 * lp - 1 - pos, pos)
     fpos = jnp.clip(fpos, 0, jnp.maximum(lp - 1, 0))
-    w = fm.pac_words[fpos >> 4].astype(jnp.uint32)
-    base = ((w >> (30 - 2 * (fpos & 15)).astype(jnp.uint32)) & 3).astype(jnp.int32)
+    w = fm.pac_words[(fpos >> 4).astype(jnp.int32)].astype(jnp.uint32)
+    sh = (30 - 2 * (fpos & 15)).astype(jnp.uint32)
+    base = ((w >> sh) & 3).astype(jnp.int32)
     base = jnp.where(is_rev, 3 - base, base)
     return jnp.where(valid, base, 4)
 

@@ -73,7 +73,7 @@ def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len,
     four = jnp.arange(4, dtype=jnp.int32)[None, :]
 
     def _sel4(m, c):  # m: (B, 4), c: (B,) -> m[i, c[i]] without a gather
-        return jnp.where(four == c[:, None], m, 0).sum(axis=1)
+        return jnp.where(four == c[:, None], m, 0).sum(axis=1, dtype=m.dtype)
 
     def step(carry, i):
         k, l, s, seg_start = carry
@@ -98,8 +98,9 @@ def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len,
 
         ext_ok = jnp.logical_and(valid, jnp.logical_and(active, oks > 0))
         restart = jnp.logical_and(valid, jnp.logical_not(ext_ok))
-        L2f = fm.L2[:4].astype(jnp.int32)[None, :]
-        L2n = fm.L2[1:5].astype(jnp.int32)[None, :]
+        L2c = fmops._L2(fm)
+        L2f = L2c[:4][None, :]
+        L2n = L2c[1:5][None, :]
         ik = _sel4(jnp.broadcast_to(L2f, (B, 4)), base_c) + 1
         il = _sel4(jnp.broadcast_to(L2f, (B, 4)), 3 - base_c) + 1
         is_ = (_sel4(jnp.broadcast_to(L2n, (B, 4)), base_c)
@@ -110,9 +111,11 @@ def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len,
         seg_n = jnp.where(ext_ok, seg_start, i)
         return (k_n, l_n, s_n, seg_n), cand
 
-    z = jnp.zeros((B,), jnp.int32)
+    dt = fmops.idx_dt(fm)
+    zi = jnp.zeros((B,), dt)
+    z32 = jnp.zeros((B,), jnp.int32)
     _, cands = jax.lax.scan(
-        step, (z, z, z, z), jnp.arange(L + 1, dtype=jnp.int32)
+        step, (zi, zi, zi, z32), jnp.arange(L + 1, dtype=jnp.int32)
     )
     start, k, s, emit = (jnp.swapaxes(c, 0, 1) for c in cands)
     return start, k, s, emit
@@ -124,7 +127,7 @@ def _compact_global(fields, emit, pool_size):
     overflow)."""
     B, N = emit.shape
     flat_emit = emit.reshape(-1)
-    dst = jnp.cumsum(flat_emit.astype(jnp.int32)) - 1
+    dst = jnp.cumsum(flat_emit.astype(jnp.int32), dtype=jnp.int32) - 1
     ok = jnp.logical_and(flat_emit, dst < pool_size)
     dst_safe = jnp.where(ok, dst, pool_size)  # spill slot
 
@@ -267,8 +270,8 @@ def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size, max_occ):
     s_v = jnp.where(keep, s, 0)
     step = jnp.where(s_v > max_occ, s_v // max_occ, 1)
     count = jnp.where(s_v > 0, (s_v + step - 1) // step, 0)
-    count = jnp.minimum(count, max_occ)  # reference: count < max_occ cap
-    cum = jnp.cumsum(count)
+    count = jnp.minimum(count, max_occ).astype(jnp.int32)
+    cum = jnp.cumsum(count, dtype=jnp.int32)
     total = cum[-1]
     cum_excl = cum - count
 
@@ -284,7 +287,8 @@ def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size, max_occ):
     seed_valid = t < jnp.minimum(total, pool_size)
     off = t - cum_excl[cand]
     g = lambda a: a[cand]
-    rows = jnp.where(seed_valid, g(k) + off * g(step), 0)
+    rows = jnp.where(seed_valid, g(k) + off.astype(k.dtype) * g(step),
+                     k.dtype.type(0))
     rbeg = fmops.sa_lookup_batch(fm, rows)
     return dict(
         read_id=jnp.where(seed_valid, g(rid), -1),
@@ -347,21 +351,22 @@ def bowtie_seed_batch(fm: DeviceFMIndex, reads, lens, seed_len: int,
 
     rb0 = base_at(0)
     ch0 = chosen_base(rb0, 0)
-    k = fm.L2[ch0] + 1
-    l = fm.L2[3 - ch0] + 1
-    s = fm.L2[ch0 + 1] - fm.L2[ch0]
+    L2c = fmops._L2(fm)
+    k = L2c[ch0] + 1
+    l = L2c[3 - ch0] + 1
+    s = L2c[ch0 + 1] - L2c[ch0]
     alive = (lane_ok & (rb0 < 4))[:, None] & (s >= 1)
-
-    ext4 = jax.vmap(lambda k_, l_, s_: fmops.forward_ext4(fm, k_, l_, s_))
 
     def step(carry, t):
         k, l, s, alive = carry
         rb = base_at(t)
         ch = chosen_base(rb, t)
         kf, lf, sf = (a.reshape(-1) for a in (k, l, s))
-        k4, l4, s4 = ext4(jnp.where(alive.reshape(-1), kf, 0),
-                          jnp.where(alive.reshape(-1), lf, 0),
-                          jnp.where(alive.reshape(-1), sf, 1))
+        k4, l4, s4 = fmops.forward_ext4_batch(
+            fm,
+            jnp.where(alive.reshape(-1), kf, 0),
+            jnp.where(alive.reshape(-1), lf, 0),
+            jnp.where(alive.reshape(-1), sf, 1))
         chf = jnp.clip(ch.reshape(-1), 0, 3)
         take = lambda a: jnp.take_along_axis(
             a, chf[:, None], axis=1)[:, 0].reshape(NL, C)

@@ -75,7 +75,9 @@ class FMOracle:
                 rank += bin(int(b[1]) & ((1 << min(r, 32)) - 1)).count("1")
                 if r > 32:
                     rank += bin(int(b[2]) & ((1 << (r - 32)) - 1)).count("1")
-                return int(idx.ssa_vals[rank]) + steps
+                hi = (int(idx.ssa_vals_hi[rank])
+                      if idx.ssa_vals_hi is not None else 0)
+                return ((hi << 32) | int(idx.ssa_vals[rank])) + steps
             row = self.lf(row)
             steps += 1
 

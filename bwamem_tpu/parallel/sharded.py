@@ -65,8 +65,8 @@ def _fm_proto():
     """Pytree prototype with the same structure as DeviceFMIndex."""
     z = jnp.zeros((1,), jnp.int32)
     return DeviceFMIndex(
-        occ_blocks=z, L2=z, n_occ_blocks=z, ssa_vals=z, pac_words=z,
-        primary=z, seq_len=z, l_pac=z,
+        occ_blocks=z, L2=z, n_occ_blocks=z, ssa_vals=z, ssa_vals_hi=z,
+        pac_words=z, primary=z, seq_len=z, l_pac=z,
     )
 
 
