@@ -203,6 +203,7 @@ def cmd_align(args) -> int:
         opt.pen_unpaired *= opt.a
         opt.T *= opt.a
     opt.T = args.min_score
+    opt.verbose = args.verbosity
     opt.dp_type = args.dp_type
     if args.dp_type in (1, 2):
         print("[bwamem-tpu] note: -e 1/2 select CPU DP paths in the "

@@ -32,8 +32,90 @@ class SeqRecord:
 
 
 def read_fastx(path: str) -> Iterator[SeqRecord]:
-    """Streaming FASTA/FASTQ parser (plain or name only; qualities kept
-    as ASCII strings)."""
+    """Streaming FASTA/FASTQ parser. Uses the native C++ scanner when
+    available (equivalent of the reference's kseq lexer on the input
+    pipeline thread, src/kseq.h); falls back to pure Python for
+    multi-line FASTA or when the native lib is unavailable."""
+    from ..native import loader
+
+    lib = loader.try_load()
+    if lib is not None:
+        yielded_any = False
+        try:
+            for rec in _read_fastx_native(lib, path):
+                yielded_any = True
+                yield rec
+            return
+        except _NativeParseFallback:
+            if yielded_any:
+                raise RuntimeError(
+                    "native FASTX scanner failed mid-file; mixed "
+                    "single/multi-line input is unsupported")
+    yield from _read_fastx_py(path)
+
+
+class _NativeParseFallback(Exception):
+    pass
+
+
+def _read_fastx_native(lib, path: str,
+                       chunk: int = 8 << 20) -> Iterator[SeqRecord]:
+    import ctypes
+
+    CHUNK = chunk
+    CAP = 1 << 16
+    recs = np.empty(CAP * 5, np.int64)
+    recs_p = recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    nrec = ctypes.c_int64()
+    buf = b""
+    with open(path, "rb") as f:
+        eof = False
+        while not eof or buf:
+            if not eof:
+                more = f.read(CHUNK)
+                eof = not more
+                buf += more
+            consumed_total = 0
+            while True:
+                view = buf[consumed_total:]
+                if not view:
+                    break
+                consumed = lib.bm_fastx_scan(
+                    view, len(view), int(eof), recs_p, CAP,
+                    ctypes.byref(nrec))
+                if consumed < 0:
+                    raise _NativeParseFallback()
+                n = nrec.value
+                if n == 0 and consumed == 0:
+                    if eof:
+                        raise _NativeParseFallback()  # stuck: malformed
+                    break
+                codes = np.frombuffer(view, np.uint8)
+                table = _CODE_LUT
+                for i in range(n):
+                    nb, ne, sb, se, qb = recs[i * 5 : i * 5 + 5]
+                    seq = table[codes[sb:se]]
+                    qual = (view[qb : qb + (se - sb)].decode()
+                            if qb >= 0 else None)
+                    yield SeqRecord(
+                        name=_trim_readno(view[nb:ne].decode()),
+                        seq=seq, qual=qual)
+                consumed_total += consumed
+                if n < CAP:
+                    break
+            buf = buf[consumed_total:]
+            if eof and consumed_total == 0 and buf:
+                raise _NativeParseFallback()
+
+
+_CODE_LUT = np.full(256, 4, np.uint8)
+for _i, _ch in enumerate(b"ACGT"):
+    _CODE_LUT[_ch] = _i
+    _CODE_LUT[_ch + 32] = _i  # lowercase
+
+
+def _read_fastx_py(path: str) -> Iterator[SeqRecord]:
+    """Pure-Python fallback parser (handles multi-line FASTA)."""
     with open(path, "rb") as f:
         first = f.peek(1)[:1] if hasattr(f, "peek") else b""
         is_fastq = first == b"@"

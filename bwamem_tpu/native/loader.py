@@ -73,6 +73,17 @@ def try_load():
             ctypes.c_int64,
             ctypes.c_int64,
         ]
+        lib.bm_fastx_scan.restype = ctypes.c_int64
+        lib.bm_fastx_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.bm_encode_bases.restype = None
+        lib.bm_encode_bases.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.bm_ksw_global.restype = ctypes.c_int
         lib.bm_ksw_global.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,

@@ -267,6 +267,33 @@ def mem_reg2sam(opt: MemOptions, idx: FMIndex, name: str, seq: np.ndarray,
             for k in range(len(alns))]
 
 
+def _dump_chains(idx, seeds, per_read_chains) -> None:
+    """Debug dump of seeds + chains (equivalent of the reference's
+    bwa_verbose>=4 traces / mem_print_chain, src/bwamem.c:386-402 and
+    mem_print_gpu, src/bwamem.c:304)."""
+    import sys
+
+    for b, chains in enumerate(per_read_chains):
+        print(f"=====> read {b}: {len(seeds[b])} seeds, "
+              f"{len(chains)} chains <=====", file=sys.stderr)
+        for q0, q1, rb, occ in seeds[b]:
+            print(f"  seed q[{q0},{q1}) r={rb} occ={occ}", file=sys.stderr)
+        for ci, c in enumerate(chains):
+            parts = "; ".join(f"{s.qbeg},{s.rbeg},{s.len}" for s in c.seeds)
+            print(f"  chain({ci}) w={c.w} rid={c.rid}: {parts}",
+                  file=sys.stderr)
+
+
+def _dump_regs(per_read_regs, stage: str) -> None:
+    import sys
+
+    for b, regs in enumerate(per_read_regs):
+        for a in regs:
+            print(f"  [{stage}] read {b}: q[{a.qb},{a.qe}) r[{a.rb},{a.re})"
+                  f" score={a.score} w={a.w} seedcov={a.seedcov}",
+                  file=sys.stderr)
+
+
 class MemAligner:
     """The flagship end-to-end model: index in HBM, batched device stages,
     host post-processing. Single-end in v1."""
@@ -369,6 +396,9 @@ class MemAligner:
             per_read_chains.append(chains)
         flt.run()
 
+        if opt.verbose >= 4:
+            _dump_chains(idx, seeds, per_read_chains)
+
         # phase 2: extension-job construction, then one launch per bucket
         per_read_regs: list[list[AlnReg]] = []
         jobs: list[ExtJob] = []
@@ -377,6 +407,8 @@ class MemAligner:
             for c in per_read_chains[b]:
                 chain2aln_jobs(opt, idx, len(seq), seq, c, regs, jobs)
             per_read_regs.append(regs)
+        if opt.verbose >= 4:
+            _dump_regs(per_read_regs, stage="pre-extension")
 
         run_extension_jobs(self.ext_params, opt.mat, jobs, opt.pen_clip5)
 
@@ -385,6 +417,8 @@ class MemAligner:
             regs = per_read_regs[b]
             merge_extension_results(len(seq), regs)
             out.append(mem_sort_dedup_patch(opt, idx, seq, regs))
+        if opt.verbose >= 4:
+            _dump_regs(out, stage="post-dedup")
         return out
 
     def align_batch(self, names: list[str], seqs: list[np.ndarray],
