@@ -21,6 +21,8 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
                    help="mate FASTA/FASTQ for paired-end")
     p.add_argument("-t", type=int, default=1, dest="n_threads",
                    help="host worker threads")
+    p.add_argument("--n-chips", type=int, default=1, dest="n_chips",
+                   help="data-parallel device count (0 = all available)")
     p.add_argument("-k", type=int, default=None, dest="min_seed_len")
     p.add_argument("-w", type=int, default=300, dest="band_width")
     p.add_argument("-A", type=int, default=None, dest="match")
@@ -240,7 +242,18 @@ def cmd_align(args) -> int:
     seed_cfg = SeedConfig(min_seed_len=opt.min_seed_len,
                           cand_pool=args.seed_cands,
                           seed_pool=args.seed_cap, max_occ=opt.max_occ)
-    aligner = MemAligner(opt, idx, seed_cfg=seed_cfg)
+    mesh = None
+    if args.n_chips != 1:
+        import jax
+
+        from .parallel.sharded import make_mesh
+
+        n = args.n_chips or len(jax.devices())
+        if n > 1:
+            mesh = make_mesh(n)
+            print(f"[bwamem-tpu] data-parallel over {n} devices",
+                  file=sys.stderr)
+    aligner = MemAligner(opt, idx, seed_cfg=seed_cfg, mesh=mesh)
     if args.mates is not None:
         records = _interleave(read_fastx(args.reads), read_fastx(args.mates))
     elif paired:  # -p smart pairing: single interleaved file

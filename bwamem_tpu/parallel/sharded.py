@@ -61,6 +61,58 @@ def sharded_align_step(mesh: Mesh, cfg: AlignStepConfig = AlignStepConfig(),
     return jax.jit(step)
 
 
+def sharded_seed_batch(mesh: Mesh, fm: DeviceFMIndex, reads, lens, cfg,
+                       axis: str = "data"):
+    """Full-pipeline seeding over the mesh: index replicated, reads
+    sharded by contiguous range, flat seed pools allgathered with
+    read ids rebased to global read numbers. Drop-in for
+    ops.seeding.smem_seed_batch (same output dict)."""
+    from ..ops.seeding import smem_seed_batch
+
+    n_dev = mesh.devices.size
+    B = reads.shape[0]
+    assert B % n_dev == 0, "caller pads the batch to the mesh size"
+    fm_specs = jax.tree_util.tree_map(lambda _: P(), _fm_proto())
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(fm_specs, P(axis), P(axis)),
+             out_specs=P(),
+             check_vma=False)
+    def step(fm_, reads_, lens_):
+        out = smem_seed_batch(fm_, reads_, lens_, cfg)
+        shard = jax.lax.axis_index(axis)
+        b_loc = reads_.shape[0]
+        out["read_id"] = jnp.where(
+            out["read_id"] >= 0, out["read_id"] + shard * b_loc,
+            out["read_id"])
+        gat = lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True)
+        out = {k: (gat(v) if v.ndim else v) for k, v in out.items()}
+        out["n_seeds"] = jax.lax.psum(out["n_seeds"], axis)
+        out["overflow"] = jax.lax.psum(
+            out["overflow"].astype(jnp.int32), axis) > 0
+        return out
+
+    return jax.jit(step)(fm, reads, lens)
+
+
+def sharded_extend_batch(mesh: Mesh, query, target, qlen, tlen, h0, mat,
+                         params, axis: str = "data"):
+    """Batched extension over the mesh (drop-in for extend_batch_auto;
+    caller pads N to the mesh size)."""
+    from ..ops.extend import extend_batch_auto
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+             out_specs=P(),
+             check_vma=False)
+    def step(q, t, ql, tl, h, m):
+        out = extend_batch_auto(q, t, ql, tl, h, m, params)
+        gat = lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True)
+        return {k: gat(v) for k, v in out.items()}
+
+    return jax.jit(step)(query, target, qlen, tlen, h0, mat)
+
+
 def _fm_proto():
     """Pytree prototype with the same structure as DeviceFMIndex."""
     z = jnp.zeros((1,), jnp.int32)

@@ -172,7 +172,8 @@ def chain2aln_jobs(opt: MemOptions, idx: FMIndex, l_query: int,
 
 def run_extension_jobs(fm_params: ExtendParams, mat: np.ndarray,
                        jobs: list[ExtJob], pen_clip: int,
-                       bucket_bounds=(64, 192, 1 << 30)) -> None:
+                       bucket_bounds=(64, 192, 1 << 30),
+                       mesh=None) -> None:
     """Execute all jobs on device, bucketed by query length (the
     generalization of the reference's SHORT/LONG split,
     src/bntseq.h:85-99), then scatter chosen (score, qle, tle) into
@@ -185,11 +186,13 @@ def run_extension_jobs(fm_params: ExtendParams, mat: np.ndarray,
             if len(j.query) <= b:
                 buckets.setdefault(b, []).append(j)
                 break
+    n_dev = mesh.devices.size if mesh is not None else 1
     for sub in buckets.values():
         # quantized pads: finite executable set, no per-batch recompiles
         QMAX = bucket_len(max(len(j.query) for j in sub))
         TMAX = bucket_len(max(len(j.target) for j in sub))
         N = bucket_count(len(sub))
+        N = -(-N // n_dev) * n_dev
         Q = np.full((N, QMAX), 4, np.int32)
         T = np.full((N, TMAX), 4, np.int32)
         ql = np.zeros(N, np.int32)
@@ -199,9 +202,18 @@ def run_extension_jobs(fm_params: ExtendParams, mat: np.ndarray,
             Q[i, : len(j.query)] = j.query
             T[i, : len(j.target)] = j.target
             ql[i], tl[i], h0[i] = len(j.query), len(j.target), j.h0
-        out = extend_batch_auto(jnp.asarray(Q), jnp.asarray(T),
-                                jnp.asarray(ql), jnp.asarray(tl),
-                                jnp.asarray(h0), jnp.asarray(mat), fm_params)
+        if mesh is not None:
+            from ..parallel.sharded import sharded_extend_batch
+
+            out = sharded_extend_batch(
+                mesh, jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql),
+                jnp.asarray(tl), jnp.asarray(h0), jnp.asarray(mat),
+                fm_params)
+        else:
+            out = extend_batch_auto(
+                jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql),
+                jnp.asarray(tl), jnp.asarray(h0), jnp.asarray(mat),
+                fm_params)
         sc, qe, te = end_choice(out["score"], out["qle"], out["tle"],
                                 out["gscore"], out["gtle"], jnp.asarray(ql),
                                 pen_clip)
@@ -300,10 +312,20 @@ class MemAligner:
 
     def __init__(self, opt: MemOptions, idx: FMIndex,
                  fm: DeviceFMIndex | None = None,
-                 seed_cfg: SeedConfig | None = None):
+                 seed_cfg: SeedConfig | None = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh — device stages run
+        data-parallel over it (index replicated per chip, reads sharded
+        by contiguous range; SURVEY §2.5's TPU-native replacement for the
+        reference's absent distributed backend)."""
         self.opt = opt
         self.idx = idx
+        self.mesh = mesh
         self.fm = fm or DeviceFMIndex.from_host(idx)
+        if mesh is not None:
+            from ..parallel.sharded import replicate_index
+
+            self.fm = replicate_index(mesh, self.fm)
         self.seed_cfg = seed_cfg or SeedConfig(
             min_seed_len=opt.min_seed_len, max_occ=opt.max_occ)
         self.ext_params = ExtendParams(
@@ -323,6 +345,14 @@ class MemAligner:
             reads[i, : len(s)] = s
             lens[i] = len(s)
         opt = self.opt
+        if self.mesh is not None:
+            # pad the batch to the mesh size for even contiguous shards
+            n_dev = self.mesh.devices.size
+            Bp = -(-B // n_dev) * n_dev
+            if Bp != B:
+                reads = np.concatenate(
+                    [reads, np.full((Bp - B, L), 4, reads.dtype)])
+                lens = np.concatenate([lens, np.zeros(Bp - B, lens.dtype)])
 
         def launch(cfg):
             if opt.seed_type in (2, 4):
@@ -339,6 +369,12 @@ class MemAligner:
             if cfg.mode != mode:
                 from dataclasses import replace as _r
                 cfg = self.seed_cfg = _r(cfg, mode=mode)
+            if self.mesh is not None:
+                from ..parallel.sharded import sharded_seed_batch
+
+                return sharded_seed_batch(
+                    self.mesh, self.fm, jnp.asarray(reads),
+                    jnp.asarray(lens), cfg)
             return smem_seed_batch(self.fm, jnp.asarray(reads),
                                    jnp.asarray(lens), cfg)
 
@@ -363,10 +399,10 @@ class MemAligner:
             import sys
             print("[bwamem-tpu] warning: seed pool overflow at max size; "
                   "some seeds dropped", file=sys.stderr)
-        n = int(out["n_seeds"])
-        rid = out["read_id"][:n]
-        cols = np.stack([out["qbeg"][:n], out["qend"][:n],
-                         out["rbeg"][:n], out["n_occ"][:n]], axis=1)
+        v = out["valid"].astype(bool)
+        rid = out["read_id"][v]
+        cols = np.stack([out["qbeg"][v], out["qend"][v],
+                         out["rbeg"][v], out["n_occ"][v]], axis=1)
         bounds = np.searchsorted(rid, np.arange(len(seqs) + 1))
         return [
             [tuple(int(x) for x in row) for row in cols[bounds[b]:bounds[b + 1]]]
@@ -410,7 +446,8 @@ class MemAligner:
         if opt.verbose >= 4:
             _dump_regs(per_read_regs, stage="pre-extension")
 
-        run_extension_jobs(self.ext_params, opt.mat, jobs, opt.pen_clip5)
+        run_extension_jobs(self.ext_params, opt.mat, jobs, opt.pen_clip5,
+                           mesh=self.mesh)
 
         out: list[list[AlnReg]] = []
         for b, seq in enumerate(seqs):

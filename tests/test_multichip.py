@@ -59,3 +59,30 @@ def test_sharded_matches_single(setup):
     for k in ("score", "qb", "qe", "rb", "re"):
         np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
     assert int(total_seeds) == int(ref["n_seeds"].sum())
+
+
+def test_full_pipeline_sharded_matches_single():
+    """The COMPLETE aligner (seeding + chaining + extension + SAM) over an
+    8-device mesh must emit identical SAM lines to single-device."""
+    from bwamem_tpu.index.build import build_index_from_codes
+    from bwamem_tpu.index.format import Annotation
+    from bwamem_tpu.pipeline.aligner import MemAligner
+    from bwamem_tpu.pipeline.options import MemOptions
+
+    rng = np.random.default_rng(17)
+    g = rng.integers(0, 4, 20000, dtype=np.uint8)
+    ann = Annotation(names=["c"], lengths=[20000], offsets=[0])
+    idx = build_index_from_codes(g, ann, sa_intv=8)
+    names, seqs = [], []
+    for i in range(30):
+        p = int(rng.integers(0, 20000 - 120))
+        r = g[p : p + 120].copy()
+        r[int(rng.integers(0, 120))] ^= 1
+        if i % 2:
+            r = (3 - r)[::-1]
+        names.append(f"m{i}")
+        seqs.append(r)
+    single = MemAligner(MemOptions(), idx).align_batch(names, seqs)
+    mesh = make_mesh(8)
+    multi = MemAligner(MemOptions(), idx, mesh=mesh).align_batch(names, seqs)
+    assert single == multi
