@@ -32,3 +32,18 @@ __version__ = "0.1.0"
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the CLI is a one-shot process; without
+# this every invocation re-pays ~30 s of XLA compiles (the executables are
+# shape-bucketed, so the cache converges after a few runs).
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "BWAMEM_TPU_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "bwamem_tpu", "xla"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+except Exception:  # noqa: BLE001 — cache is best-effort
+    pass

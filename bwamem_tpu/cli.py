@@ -239,6 +239,11 @@ def cmd_align(args) -> int:
                 rg_id = f[3:]
 
     idx = FMIndex.load(args.index_prefix + ".bmt")
+    # fork the host worker pool BEFORE any JAX/device initialization
+    # (kt_for/worker2 equivalent; see pipeline/hostpool.py)
+    from .pipeline.hostpool import HostPool
+
+    host_pool = HostPool(opt, idx, args.n_threads)
     seed_cfg = SeedConfig(min_seed_len=opt.min_seed_len,
                           cand_pool=args.seed_cands,
                           seed_pool=args.seed_cap, max_occ=opt.max_occ)
@@ -266,9 +271,13 @@ def cmd_align(args) -> int:
     cmdline = "bwamem-tpu " + " ".join(sys.argv[1:])
     for line in _sam_header(idx, args.rg_line, cmdline):
         out.write(line + "\n")
-    n = run_pipeline(records, aligner,
-                     opt.chunk_size * max(args.n_threads, 1), out,
-                     timings=timings, paired=paired)
+    try:
+        n = run_pipeline(records, aligner,
+                         opt.chunk_size * max(args.n_threads, 1), out,
+                         timings=timings, paired=paired,
+                         host_pool=host_pool)
+    finally:
+        host_pool.close()
     print(f"[bwamem-tpu] done: {n} reads", file=sys.stderr)
     if args.verbosity >= 3:
         print(timings.report(), file=sys.stderr)

@@ -217,7 +217,9 @@ def run_extension_jobs(fm_params: ExtendParams, mat: np.ndarray,
         sc, qe, te = end_choice(out["score"], out["qle"], out["tle"],
                                 out["gscore"], out["gtle"], jnp.asarray(ql),
                                 pen_clip)
-        sc, qe, te = np.asarray(sc), np.asarray(qe), np.asarray(te)
+        # one stacked D2H instead of three (each transfer risks a tunnel
+        # stall; fewer, larger transfers are strictly better here)
+        sc, qe, te = np.asarray(jnp.stack([sc, qe, te]))
         for i, j in enumerate(sub):
             j.reg.part[j.side] = [int(sc[i]), int(qe[i]), int(te[i])]
 
@@ -326,6 +328,11 @@ class MemAligner:
             from ..parallel.sharded import replicate_index
 
             self.fm = replicate_index(mesh, self.fm)
+        # warmup round-trip: the first D2H after device compute can stall
+        # for minutes on tunneled backends — absorb it once at startup
+        import jax as _jax
+
+        _ = np.asarray(self.fm.L2[:1].astype(jnp.int32) + jnp.int32(0))
         self.seed_cfg = seed_cfg or SeedConfig(
             min_seed_len=opt.min_seed_len, max_occ=opt.max_occ)
         self.ext_params = ExtendParams(
@@ -382,9 +389,24 @@ class MemAligner:
         # reference aborts instead, seed_gen.cu:2037-2042; a retry costs one
         # extra launch and never silently unmaps tail reads)
         from dataclasses import replace as _dc_replace
+
+        def fetch(raw):
+            """Coalesced D2H: one stacked pool transfer + one scalar pair."""
+            dt = raw["rbeg"].dtype
+            pool = np.asarray(jnp.stack(
+                [raw[k].astype(dt)
+                 for k in ("read_id", "qbeg", "qend", "rbeg", "n_occ")]
+                + [raw["valid"].astype(dt)]))
+            head = np.asarray(jnp.stack(
+                [raw["n_seeds"].astype(jnp.int32),
+                 raw["overflow"].astype(jnp.int32)]))
+            return dict(read_id=pool[0], qbeg=pool[1], qend=pool[2],
+                        rbeg=pool[3], n_occ=pool[4],
+                        valid=pool[5].astype(bool),
+                        n_seeds=head[0], overflow=head[1] > 0)
+
         while True:
-            out = launch(self.seed_cfg)
-            out = {k: np.asarray(v) for k, v in out.items()}
+            out = fetch(launch(self.seed_cfg))
             if not bool(out["overflow"]) or self.seed_cfg.cand_pool >= 4096:
                 break
             import sys
@@ -458,14 +480,11 @@ class MemAligner:
             _dump_regs(out, stage="post-dedup")
         return out
 
-    def align_batch(self, names: list[str], seqs: list[np.ndarray],
-                    quals: list[str | None] | None = None,
-                    n_processed: int = 0) -> list[str]:
-        """Single-end: returns SAM lines (one or more per read, in input
-        order)."""
+    def emit_sam_batch(self, names, seqs, quals, per_read_regs,
+                       n_processed: int = 0) -> list[str]:
+        """worker2 equivalent for SE (reference: src/bwamem.c:2451-2460):
+        mark-primary + SAM per read, given collected regions."""
         opt, idx = self.opt, self.idx
-        quals = quals or [None] * len(seqs)
-        per_read_regs = self.collect_regs_batch(seqs)
         out_lines: list[str] = []
         for b, seq in enumerate(seqs):
             regs, _ = mem_mark_primary_se(opt, per_read_regs[b],
@@ -474,23 +493,28 @@ class MemAligner:
                 mem_reg2sam(opt, idx, names[b], seq, quals[b], regs))
         return out_lines
 
-    def align_pairs_batch(self, names: list[str], seqs: list[np.ndarray],
-                          quals: list[str | None] | None = None,
-                          n_processed: int = 0,
-                          pes: list | None = None) -> list[str]:
-        """Paired-end: `seqs` is interleaved (read1, read2, ...). Insert
-        sizes inferred from this chunk unless `pes` is given (equivalent of
-        mem_process_seqs's PE path, reference: src/bwamem.c:2504-2512 +
-        src/bwamem_pair.c mem_sam_pe)."""
-        from .pairing import (mem_pe_rescue_batch, mem_pestat,
-                              mem_sam_pe_finalize)
+    def align_batch(self, names: list[str], seqs: list[np.ndarray],
+                    quals: list[str | None] | None = None,
+                    n_processed: int = 0) -> list[str]:
+        """Single-end: returns SAM lines (one or more per read, in input
+        order)."""
+        quals = quals or [None] * len(seqs)
+        per_read_regs = self.collect_regs_batch(seqs)
+        return self.emit_sam_batch(names, seqs, quals, per_read_regs,
+                                   n_processed)
+
+    def collect_pairs_batch(self, seqs: list[np.ndarray],
+                            pes: list | None = None):
+        """PE collection: regions + insert-size inference + batched mate
+        rescue (everything device-bound / order-independent). Returns
+        (pair_regs, pes) for the finalization stage."""
+        from .pairing import mem_pe_rescue_batch, mem_pestat
 
         opt, idx = self.opt, self.idx
         if len(seqs) % 2:
             raise SystemExit(
                 "[bwamem-tpu] error: paired-end input has an odd number of "
                 "reads — not valid interleaved PE data")
-        quals = quals or [None] * len(seqs)
         per_read_regs = self.collect_regs_batch(seqs)
         if pes is None:
             pes = mem_pestat(opt, idx.l_pac, per_read_regs)
@@ -501,8 +525,23 @@ class MemAligner:
                      for i in range(n_pairs)]
         if not (opt.flag & MEM_F_NO_RESCUE):
             mem_pe_rescue_batch(opt, idx, pes, pair_seqs, pair_regs)
+        return pair_regs, pes
+
+    def align_pairs_batch(self, names: list[str], seqs: list[np.ndarray],
+                          quals: list[str | None] | None = None,
+                          n_processed: int = 0,
+                          pes: list | None = None) -> list[str]:
+        """Paired-end: `seqs` is interleaved (read1, read2, ...). Insert
+        sizes inferred from this chunk unless `pes` is given (equivalent of
+        mem_process_seqs's PE path, reference: src/bwamem.c:2504-2512 +
+        src/bwamem_pair.c mem_sam_pe)."""
+        from .pairing import mem_sam_pe_finalize
+
+        opt, idx = self.opt, self.idx
+        quals = quals or [None] * len(seqs)
+        pair_regs, pes = self.collect_pairs_batch(seqs, pes)
         out_lines: list[str] = []
-        for i in range(n_pairs):
+        for i in range(len(pair_regs)):
             id_ = (n_processed >> 1) + i
             l0, l1 = mem_sam_pe_finalize(
                 opt, idx, pes, id_,

@@ -230,7 +230,9 @@ def _run_sw_jobs(opt: MemOptions, jobs: list[_SWJob]) -> list[dict]:
                          jnp.asarray(tl), jnp.asarray(opt.mat),
                          jnp.asarray(minsc), opt.o_del, opt.e_del,
                          opt.o_ins, opt.e_ins, opt.a)
-    out = {k: np.asarray(v) for k, v in out.items()}
+    keys = list(out)
+    stacked = np.asarray(jnp.stack([out[k] for k in keys]))  # one D2H
+    out = dict(zip(keys, stacked))
     return [{k: out[k][i] for k in out} for i in range(n_real)]
 
 

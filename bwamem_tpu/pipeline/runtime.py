@@ -1,20 +1,30 @@
-"""Three-stage read -> align -> write pipeline runtime.
+"""Pipelined read -> collect -> finalize -> write runtime.
 
-Equivalent of the reference's kt_pipeline (reference: src/kthread.c:277-348,
-launched at src/fastmap.c:528 with 2 pipeline workers over 3 steps): stage 0
-reads and chunks input on a producer thread, stage 1 runs the aligner
-(device work), stage 2 writes SAM in input order. Queues give the same
-double-buffering the reference gets from its pipeline mutex dance: the
-reader prefetches chunk N+1 while the device aligns chunk N and the writer
-drains chunk N-1. TPU kernels release the GIL during execution, so host
-threads genuinely overlap with device time.
+Equivalent of the reference's kt_pipeline + stream double-buffering
+(reference: src/kthread.c:277-348 launched at src/fastmap.c:528, plus the
+CPU-chains-batch-N+1-while-GPU-extends-batch-N software pipeline inside
+mem_align1_core, src/bwamem.c:1963-2213), re-expressed at chunk
+granularity:
+
+  reader thread   -> chunks of ~chunk_bases
+  collector thread-> device stages for chunk i+1 (seeding + extension +
+                     rescue) while the main thread finalizes chunk i —
+                     device waits release the GIL, so host work genuinely
+                     overlaps device time
+  main thread     -> finalization (mark-primary/pairing/CIGAR/SAM) for
+                     chunk i, fanned out over the HostPool worker
+                     processes (the kt_for/worker2 equivalent, -t)
+  writer thread   -> ordered SAM write
+
+Order is preserved: chunks finalize strictly in input order.
 """
 from __future__ import annotations
 
 import queue
 import sys
 import threading
-from typing import Iterable, Iterator, TextIO
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, TextIO
 
 from ..io.fastx import SeqRecord, chunk_records
 from ..utils.timing import Timings
@@ -24,9 +34,13 @@ _STOP = object()
 
 def run_pipeline(records: Iterator[SeqRecord], aligner, chunk_bases: int,
                  out: TextIO, timings: Timings | None = None,
-                 queue_depth: int = 2, paired: bool = False) -> int:
+                 queue_depth: int = 2, paired: bool = False,
+                 host_pool=None) -> int:
     """Stream records through the aligner; returns #reads processed."""
+    from .hostpool import HostPool
+
     timings = timings or Timings()
+    pool = host_pool or HostPool(aligner.opt, aligner.idx, 1)
     in_q: queue.Queue = queue.Queue(maxsize=queue_depth)
     out_q: queue.Queue = queue.Queue(maxsize=queue_depth)
     errors: list[BaseException] = []
@@ -53,31 +67,51 @@ def run_pipeline(records: Iterator[SeqRecord], aligner, chunk_bases: int,
         except BaseException as e:  # noqa: BLE001
             errors.append(e)
 
+    def collect(batch):
+        names = [r.name for r in batch]
+        seqs = [r.seq for r in batch]
+        quals = [r.qual for r in batch]
+        with timings.span("collect"):
+            if paired:
+                regs, pes = aligner.collect_pairs_batch(seqs)
+            else:
+                regs, pes = aligner.collect_regs_batch(seqs), None
+        return names, seqs, quals, regs, pes
+
+    def finalize(res, n_processed):
+        names, seqs, quals, regs, pes = res
+        with timings.span("finalize"):
+            if paired:
+                return pool.emit_pe(names, seqs, quals, regs, pes,
+                                    n_processed)
+            return pool.emit_se(names, seqs, quals, regs, n_processed)
+
     rt = threading.Thread(target=reader, daemon=True)
     wt = threading.Thread(target=writer, daemon=True)
     rt.start()
     wt.start()
 
     n_processed = 0
+    collector = ThreadPoolExecutor(1, thread_name_prefix="collect")
     try:
+        pending = None  # (future, n_reads_at_start)
         while True:
             batch = in_q.get()
             if batch is _STOP:
                 break
-            with timings.span("align_chunk"):
-                if paired:
-                    lines = aligner.align_pairs_batch(
-                        [r.name for r in batch], [r.seq for r in batch],
-                        [r.qual for r in batch], n_processed=n_processed)
-                else:
-                    lines = aligner.align_batch(
-                        [r.name for r in batch], [r.seq for r in batch],
-                        [r.qual for r in batch], n_processed=n_processed)
-            out_q.put(lines)
+            fut = collector.submit(collect, batch)
+            if pending is not None:
+                prev_fut, prev_n = pending
+                out_q.put(finalize(prev_fut.result(), prev_n))
+                print(f"[bwamem-tpu] processed {n_processed} reads...",
+                      file=sys.stderr)
+            pending = (fut, n_processed)
             n_processed += len(batch)
-            print(f"[bwamem-tpu] processed {n_processed} reads...",
-                  file=sys.stderr)
+        if pending is not None:
+            prev_fut, prev_n = pending
+            out_q.put(finalize(prev_fut.result(), prev_n))
     finally:
+        collector.shutdown(wait=False)
         out_q.put(_STOP)
         wt.join()
         rt.join(timeout=1.0)
