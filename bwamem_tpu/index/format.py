@@ -35,7 +35,6 @@ bwa_index/bwt.c:88-116).
 """
 from __future__ import annotations
 
-import io
 import json
 from dataclasses import dataclass, field
 

@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..index.device import DeviceFMIndex
-from ..ops.extend import (ExtendParams, end_choice, extend_batch,
-                          extend_batch_auto, make_score_matrix)
+from ..ops.extend import (ExtendParams, end_choice, extend_batch_auto,
+                          make_score_matrix)
 from ..ops.refgather import gather_bases
 from ..ops.seeding import SeedConfig, smem_seed_batch
 

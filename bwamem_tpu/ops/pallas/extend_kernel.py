@@ -18,7 +18,6 @@ which avoids a 25-entry gather per cell.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
 
 import jax

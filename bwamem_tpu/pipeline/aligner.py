@@ -19,7 +19,7 @@ chained left-then-right extension.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 import numpy as np
@@ -330,8 +330,6 @@ class MemAligner:
             self.fm = replicate_index(mesh, self.fm)
         # warmup round-trip: the first D2H after device compute can stall
         # for minutes on tunneled backends — absorb it once at startup
-        import jax as _jax
-
         _ = np.asarray(self.fm.L2[:1].astype(jnp.int32) + jnp.int32(0))
         self.seed_cfg = seed_cfg or SeedConfig(
             min_seed_len=opt.min_seed_len, max_occ=opt.max_occ)

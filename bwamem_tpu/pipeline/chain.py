@@ -10,7 +10,7 @@ that nearest-lower lookup.
 from __future__ import annotations
 
 import bisect
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..index.format import FMIndex
 from .options import MemOptions

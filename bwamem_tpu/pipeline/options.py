@@ -5,7 +5,7 @@ vanilla BWA: w=300, zdrop=0 disabled).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

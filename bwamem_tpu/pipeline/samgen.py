@@ -8,7 +8,6 @@ clipping rules, NM/MD computation and tag set.
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 
 import numpy as np
