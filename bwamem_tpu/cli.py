@@ -72,7 +72,7 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
                    help="vanilla bwa-mem defaults (w=100, zdrop=100)")
     p.add_argument("--seed-cands", type=int, default=48,
                    help="candidate pool slots per read (auto-doubles on overflow)")
-    p.add_argument("--seed-cap", type=int, default=24,
+    p.add_argument("--seed-cap", type=int, default=8,
                    help="expanded-seed pool slots per read (auto-doubles on overflow)")
 
 

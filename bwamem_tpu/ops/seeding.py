@@ -47,8 +47,12 @@ BIG = jnp.int32(0x3FFFFFFF)
 @dataclass(frozen=True)
 class SeedConfig:
     min_seed_len: int = 19
-    cand_pool: int = 48    # candidate pool slots per read (global pool)
-    seed_pool: int = 24    # expanded-seed pool slots per read (global pool)
+    cand_pool: int = 32    # candidate pool slots per read (global pool;
+    #                        ~27/read measured at 1% error — the adaptive
+    #                        retry in the aligner doubles on overflow)
+    seed_pool: int = 8     # expanded-seed pool slots per read (global
+    #                        pool; ~3/read typical — adaptive retry doubles
+    #                        on overflow)
     max_occ: int = 500     # subsample SMEMs above this occurrence count
     mode: str = "smem"     # "smem" (default) | "mem" (-g: keep nested MEMs,
     #                        reference GPUSeed is_smem=0 kernels,
@@ -166,7 +170,8 @@ def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid):
     # exactly window[:, t] (its qb only moves when it extends), so the
     # per-trip random gather becomes a column slice. Lanes that walk past
     # the window fall through to the gather path in the while tail.
-    FIXED_TRIPS = 24
+    FIXED_TRIPS = 16   # p100 walk = 17 on 1%-error reads; the while
+    #                    tail below handles rarer longer walks exactly
     w_off = jnp.arange(FIXED_TRIPS, dtype=jnp.int32)
     w_idx = (rid * L + qbeg - 1)[:, None] - w_off[None, :]
     window = jnp.where(
