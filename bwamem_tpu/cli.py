@@ -96,10 +96,21 @@ def main(argv=None) -> int:
         pa = sub.add_parser(name, help="align reads (single-end or paired)")
         _add_align_args(pa)
 
+    pf = sub.add_parser("fastmap",
+                        help="dump SMEMs per read (reference: main_fastmap)")
+    pf.add_argument("index_prefix")
+    pf.add_argument("reads")
+    pf.add_argument("-l", type=int, default=19, dest="min_seed_len",
+                    help="min SMEM length to output")
+    pf.add_argument("-w", type=int, default=20, dest="max_occ_out",
+                    help="max occurrences to list per SMEM")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "index":
         return cmd_index(args)
+    if args.cmd == "fastmap":
+        return cmd_fastmap(args)
     return cmd_align(args)
 
 
@@ -116,6 +127,51 @@ def cmd_index(args) -> int:
         f"{time.perf_counter() - t0:.1f}s -> {prefix}.bmt.npz",
         file=sys.stderr,
     )
+    return 0
+
+
+def cmd_fastmap(args) -> int:
+    """SMEM dump per read (equivalent of the reference's vestigial
+    main_fastmap, src/fastmap.c:559-633: 'SQ name len' then one 'EM qb qe
+    n_occ pos...' line per SMEM, '//' terminator)."""
+    from .index.format import FMIndex
+    from .io.fastx import read_fastx
+    from .pipeline.aligner import MemAligner
+    from .pipeline.options import MemOptions
+
+    idx = FMIndex.load(args.index_prefix + ".bmt")
+    opt = MemOptions()
+    opt.min_seed_len = args.min_seed_len
+    al = MemAligner(opt, idx)
+    batch: list = []
+    lp = idx.l_pac
+
+    def flush(batch):
+        seeds = al.seed_batch([r.seq for r in batch])
+        for rec, sl in zip(batch, seeds):
+            print(f"SQ\t{rec.name}\t{len(rec.seq)}")
+            by_span: dict = {}
+            for qb, qe, rb, occ in sl:
+                by_span.setdefault((qb, qe, occ), []).append(rb)
+            for (qb, qe, occ), rbs in by_span.items():
+                locs = []
+                for rb in rbs[: args.max_occ_out]:
+                    fwd = rb < lp
+                    pos = rb if fwd else 2 * lp - 1 - rb - (qe - qb) + 1
+                    rid = idx.ann.pos_to_rid(pos)
+                    locs.append(f"{idx.ann.names[rid]}:"
+                                f"{'+-'[not fwd]}{pos - idx.ann.offsets[rid] + 1}")
+                extra = "\t*" if occ > args.max_occ_out else ""
+                print(f"EM\t{qb}\t{qe}\t{occ}\t" + "\t".join(locs) + extra)
+            print("//")
+
+    for rec in read_fastx(args.reads):
+        batch.append(rec)
+        if len(batch) >= 512:
+            flush(batch)
+            batch = []
+    if batch:
+        flush(batch)
     return 0
 
 

@@ -501,6 +501,17 @@ class MemAligner:
         return self.emit_sam_batch(names, seqs, quals, per_read_regs,
                                    n_processed)
 
+    def align_one(self, seq, name: str = "read",
+                  qual: str | None = None) -> list[str]:
+        """One-read convenience API (equivalent of mem_align1, reference:
+        src/bwamem_extra.c:82). Accepts codes (np array) or an ACGT
+        string; returns the read's SAM lines."""
+        if isinstance(seq, (str, bytes)):
+            from ..utils.dna import encode
+
+            seq = encode(seq.encode() if isinstance(seq, str) else seq)
+        return self.align_batch([name], [np.asarray(seq)], [qual])
+
     def collect_pairs_batch(self, seqs: list[np.ndarray],
                             pes: list | None = None):
         """PE collection: regions + insert-size inference + batched mate

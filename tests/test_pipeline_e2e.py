@@ -102,3 +102,17 @@ def test_read_with_n_bases(aligner):
     prim = [l for l in lines if not int(l.split("\t")[1]) & 0x900]
     assert len(prim) == 1
     assert abs(int(prim[0].split("\t")[3]) - 1 - pos) <= 2
+
+
+def test_align_one_convenience(tiny_index):
+    """mem_align1-equivalent one-read API (reference: src/bwamem_extra.c:82)."""
+    from bwamem_tpu.pipeline.aligner import MemAligner
+    from bwamem_tpu.pipeline.options import MemOptions
+
+    g, idx = tiny_index
+    al = MemAligner(MemOptions(), idx)
+    frag = "".join("ACGT"[c] for c in g[300:420])
+    lines = al.align_one(frag, name="one")
+    f = lines[0].split("\t")
+    assert f[0] == "one" and not int(f[1]) & 4
+    assert int(f[3]) - 1 == 300
