@@ -1,0 +1,112 @@
+"""Edge-case robustness: ambiguous bases, -a all-hits mode, read groups,
+quality passthrough, empty/short reads."""
+import numpy as np
+import pytest
+
+from bwamem_tpu.index.build import build_index_from_codes
+from bwamem_tpu.index.format import Annotation
+from bwamem_tpu.pipeline.aligner import MemAligner
+from bwamem_tpu.pipeline.options import MemOptions, MEM_F_ALL
+
+
+@pytest.fixture(scope="module")
+def env():
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 4, 30000, dtype=np.uint8)
+    ann = Annotation(names=["c1", "c2"], lengths=[20000, 10000],
+                     offsets=[0, 20000])
+    idx = build_index_from_codes(g, ann, sa_intv=8)
+    return g, idx
+
+
+def test_reads_with_N_bases(env):
+    """N (code 4) restarts seeding and scores -1 in extension; reads with
+    scattered Ns must still map (reference: ambiguous-base restart,
+    seed_gen.cu:906-916)."""
+    g, idx = env
+    al = MemAligner(MemOptions(), idx)
+    rng = np.random.default_rng(1)
+    names, seqs, truth = [], [], []
+    for i in range(10):
+        p = int(rng.integers(0, 20000 - 150))
+        r = g[p : p + 150].copy()
+        for _ in range(3):
+            r[int(rng.integers(0, 150))] = 4  # N
+        names.append(f"n{i}")
+        seqs.append(r)
+        truth.append(p)
+    lines = al.align_batch(names, seqs)
+    prim = {l.split("\t")[0]: l.split("\t") for l in lines
+            if not int(l.split("\t")[1]) & 0x900}
+    ok = sum(1 for i in range(10)
+             if not int(prim[f"n{i}"][1]) & 4
+             and abs(int(prim[f"n{i}"][3]) - 1 - truth[i]) <= 5)
+    assert ok >= 9
+    # SEQ column renders N
+    assert any("N" in l.split("\t")[9] for l in lines)
+
+
+def test_all_N_read_unmapped(env):
+    g, idx = env
+    al = MemAligner(MemOptions(), idx)
+    lines = al.align_batch(["allN"], [np.full(100, 4, np.uint8)])
+    assert int(lines[0].split("\t")[1]) & 4
+
+
+def test_all_hits_mode(env):
+    """-a (MEM_F_ALL): secondary hits of a repeated segment are emitted as
+    0x100 records instead of XA."""
+    g, idx = env
+    # plant an exact repeat
+    seg = g[1000:1100]
+    g2 = g.copy()
+    g2[15000:15100] = seg
+    ann = Annotation(names=["c1", "c2"], lengths=[20000, 10000],
+                     offsets=[0, 20000])
+    idx2 = build_index_from_codes(g2, ann, sa_intv=8)
+    opt = MemOptions()
+    opt.flag |= MEM_F_ALL
+    al = MemAligner(opt, idx2)
+    lines = al.align_batch(["rep"], [seg.copy()])
+    flags = [int(l.split("\t")[1]) for l in lines]
+    assert len(lines) >= 2
+    assert sum(1 for f in flags if f & 0x100) >= 1  # secondary emitted
+    assert sum(1 for f in flags if not (f & 0x900)) == 1  # one primary
+
+
+def test_xa_tag_for_repeat(env):
+    """Default mode: the repeat shows up as XA:Z on the primary."""
+    g, idx = env
+    seg = g[1000:1100]
+    g2 = g.copy()
+    g2[15000:15100] = seg
+    ann = Annotation(names=["c1", "c2"], lengths=[20000, 10000],
+                     offsets=[0, 20000])
+    idx2 = build_index_from_codes(g2, ann, sa_intv=8)
+    al = MemAligner(MemOptions(), idx2)
+    lines = al.align_batch(["rep"], [seg.copy()])
+    assert len(lines) == 1
+    assert "XA:Z:" in lines[0]
+    assert int(lines[0].split("\t")[4]) == 0  # ambiguous -> mapq 0
+
+
+def test_quality_passthrough(env):
+    g, idx = env
+    al = MemAligner(MemOptions(), idx)
+    q = "".join(chr(33 + (i % 40)) for i in range(120))
+    r = g[500:620].copy()
+    lines = al.align_batch(["q1"], [r], [q])
+    f = lines[0].split("\t")
+    assert f[10] == q  # forward strand: qual verbatim
+    rc = (3 - r)[::-1]
+    lines = al.align_batch(["q2"], [rc], [q])
+    f = lines[0].split("\t")
+    assert f[10] == q[::-1]  # reverse strand: qual reversed
+
+
+def test_short_read(env):
+    """Reads shorter than min_seed_len are unmapped, not crashed."""
+    g, idx = env
+    al = MemAligner(MemOptions(), idx)
+    lines = al.align_batch(["tiny"], [g[100:110].copy()])
+    assert int(lines[0].split("\t")[1]) & 4
