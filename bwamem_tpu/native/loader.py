@@ -23,7 +23,7 @@ _lock = threading.Lock()
 _lib = None
 _load_failed = False
 
-_SOURCES = ["sais.cpp", "ksw.cpp", "fastx.cpp"]
+_SOURCES = ["sais.cpp", "ksw.cpp", "fastx.cpp", "chain.cpp"]
 
 
 def _build() -> bool:
@@ -71,6 +71,19 @@ def try_load():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
             ctypes.c_int64,
+        ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.bm_chain_batch.restype = ctypes.c_int64
+        lib.bm_chain_batch.argtypes = [
+            i32p, i32p, i64p, i64p, i64p, ctypes.c_int64, i32p,
+            i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+            ctypes.c_int64,
+            i64p, i32p, i32p, ctypes.c_int64,
+            i32p, i32p, i32p, i32p, i64p, i32p,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, i64p,
         ]
         lib.bm_fastx_scan.restype = ctypes.c_int64
         lib.bm_fastx_scan.argtypes = [

@@ -440,16 +440,17 @@ class MemAligner:
         opt, idx = self.opt, self.idx
         seeds = self.seed_batch(seqs)
 
-        # phase 1: chains + chain filter for every read; per-seed filter
-        # jobs accumulate for one batched launch (reference runs the filter
-        # per read inside worker1, src/bwamem.c:2071-2073)
-        per_read_chains: list[list] = []
+        # phase 1: chains + chain filter for every read (native C++ core
+        # when available, one GIL-free call for the whole batch); per-seed
+        # filter jobs accumulate for one batched launch (reference runs
+        # the filter per read inside worker1, src/bwamem.c:2071-2073)
+        from .chain import chain_batch
+
+        per_read_chains = chain_batch(opt, idx, [len(s) for s in seqs],
+                                      seeds)
         flt = SeedFilterBatch(opt, idx)
         for b, seq in enumerate(seqs):
-            chains = mem_chain(opt, idx, len(seq), seeds[b])
-            chains = mem_chain_flt(opt, chains)
-            flt.add_read(len(seq), seq, chains)
-            per_read_chains.append(chains)
+            flt.add_read(len(seq), seq, per_read_chains[b])
         flt.run()
 
         if opt.verbose >= 4:

@@ -82,6 +82,82 @@ def _test_and_merge(opt: MemOptions, l_pac: int, c: Chain, s: Seed,
     return False
 
 
+def chain_batch(opt: MemOptions, idx: FMIndex, l_queries: list[int],
+                per_read_seeds) -> list[list[Chain]]:
+    """Chain + filter a whole batch: native C++ core when available
+    (native/chain.cpp — GIL-free, one call per chunk), Python fallback
+    otherwise. Both produce identical chains (tests/test_native_chain.py).
+    """
+    import numpy as np
+
+    from ..native import loader
+
+    lib = loader.try_load()
+    if lib is None:
+        return [mem_chain_flt(opt, mem_chain(opt, idx, l_queries[b],
+                                             per_read_seeds[b]))
+                for b in range(len(l_queries))]
+
+    import ctypes
+
+    n_reads = len(l_queries)
+    flat = [t for sl in per_read_seeds for t in sl]
+    n = len(flat)
+    bounds = np.zeros(n_reads + 1, np.int64)
+    for b in range(n_reads):
+        bounds[b + 1] = bounds[b] + len(per_read_seeds[b])
+    qb = np.fromiter((t[0] for t in flat), np.int32, n)
+    qe = np.fromiter((t[1] for t in flat), np.int32, n)
+    rb = np.fromiter((t[2] for t in flat), np.int64, n)
+    oc = np.fromiter((t[3] for t in flat), np.int64, n)
+    lq = np.asarray(l_queries, np.int32)
+    ann_off = np.asarray(idx.ann.offsets, np.int64)
+
+    seed_cap = max(n * 2, 64)
+    chain_cap = max(n, 64)
+    while True:
+        o_srb = np.empty(seed_cap, np.int64)
+        o_sqb = np.empty(seed_cap, np.int32)
+        o_sln = np.empty(seed_cap, np.int32)
+        o_crd = np.empty(chain_cap, np.int32)
+        o_rid = np.empty(chain_cap, np.int32)
+        o_w = np.empty(chain_cap, np.int32)
+        o_kept = np.empty(chain_cap, np.int32)
+        o_off = np.empty(chain_cap, np.int64)
+        o_ns = np.empty(chain_cap, np.int32)
+        o_fr = np.empty(chain_cap, np.float64)
+        counts = np.zeros(3, np.int64)
+        p32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        p64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        pdb = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        lib.bm_chain_batch(
+            p32(qb), p32(qe), p64(rb), p64(oc), p64(bounds), n_reads,
+            p32(lq), p64(ann_off), len(ann_off), idx.l_pac,
+            opt.w, opt.max_chain_gap, opt.max_occ, opt.min_seed_len,
+            opt.mask_level, opt.drop_ratio, opt.min_chain_weight,
+            min(opt.max_chain_extend, 1 << 62),
+            p64(o_srb), p32(o_sqb), p32(o_sln), seed_cap,
+            p32(o_crd), p32(o_rid), p32(o_w), p32(o_kept), p64(o_off),
+            p32(o_ns), pdb(o_fr), chain_cap,
+            p64(counts))
+        if not counts[2]:
+            break
+        seed_cap *= 2
+        chain_cap *= 2
+
+    out: list[list[Chain]] = [[] for _ in range(n_reads)]
+    for ci in range(int(counts[0])):
+        off, ns = int(o_off[ci]), int(o_ns[ci])
+        seeds = [Seed(rbeg=int(o_srb[off + t]), qbeg=int(o_sqb[off + t]),
+                      len=int(o_sln[off + t]), score=int(o_sln[off + t]))
+                 for t in range(ns)]
+        c = Chain(pos=seeds[0].rbeg, rid=int(o_rid[ci]), seeds=seeds,
+                  frac_rep=float(o_fr[ci]), w=int(o_w[ci]),
+                  kept=int(o_kept[ci]))
+        out[int(o_crd[ci])].append(c)
+    return out
+
+
 def mem_chain(opt: MemOptions, idx: FMIndex, l_query: int,
               seeds) -> list[Chain]:
     """Build chains from the device seed list for one read.

@@ -1,0 +1,63 @@
+"""Native (C++) chaining core vs the Python implementation — identical
+chains on random batches (reference semantics: src/bwamem.c:404-559)."""
+import numpy as np
+import pytest
+
+from bwamem_tpu.index.build import build_index_from_codes
+from bwamem_tpu.index.format import Annotation
+from bwamem_tpu.native import loader
+from bwamem_tpu.pipeline.chain import chain_batch, mem_chain, mem_chain_flt
+from bwamem_tpu.pipeline.options import MemOptions
+
+
+@pytest.fixture(scope="module")
+def env():
+    rng = np.random.default_rng(41)
+    g = rng.integers(0, 4, 40000, dtype=np.uint8)
+    ann = Annotation(names=["a", "b"], lengths=[25000, 15000],
+                     offsets=[0, 25000])
+    idx = build_index_from_codes(g, ann, sa_intv=8)
+    if loader.try_load() is None:
+        pytest.skip("native toolchain unavailable")
+    return g, idx
+
+
+def _chains_sig(chains):
+    return [
+        (c.rid, c.w, c.kept, round(c.frac_rep, 9),
+         tuple((s.qbeg, s.rbeg, s.len) for s in c.seeds))
+        for c in chains
+    ]
+
+
+def test_native_chain_matches_python(env):
+    g, idx = env
+    from bwamem_tpu.pipeline.aligner import MemAligner
+
+    rng = np.random.default_rng(2)
+    al = MemAligner(MemOptions(), idx)
+    names, seqs = [], []
+    for i in range(80):
+        ln = int(rng.integers(60, 200))
+        p = int(rng.integers(0, 40000 - ln))
+        r = g[p : p + ln].copy()
+        for _ in range(int(rng.integers(0, 8))):
+            r[int(rng.integers(0, ln))] = int(rng.integers(0, 5))  # incl N
+        if i % 2:
+            r = np.where(r < 4, 3 - r, 4).astype(r.dtype)[::-1]
+        seqs.append(r)
+    seeds = al.seed_batch(seqs)
+    lqs = [len(s) for s in seqs]
+    opt = al.opt
+
+    native = chain_batch(opt, idx, lqs, seeds)
+    for b in range(len(seqs)):
+        py = mem_chain_flt(opt, mem_chain(opt, idx, lqs[b], seeds[b]))
+        assert _chains_sig(native[b]) == _chains_sig(py), b
+
+
+def test_native_chain_empty_and_short(env):
+    g, idx = env
+    opt = MemOptions()
+    out = chain_batch(opt, idx, [10, 150], [[], []])
+    assert out == [[], []]
