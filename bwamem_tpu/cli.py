@@ -334,12 +334,17 @@ def cmd_align(args) -> int:
                          host_pool=host_pool)
     finally:
         host_pool.close()
-    print(f"[bwamem-tpu] done: {n} reads", file=sys.stderr)
+    st = aligner.stats
+    print(f"[bwamem-tpu] done: {n} reads, {st['n_seeds']} seeds, "
+          f"{st['n_extensions']} extensions", file=sys.stderr)
+    timings.meta.update(st)
     if args.verbosity >= 3:
         print(timings.report(), file=sys.stderr)
     if args.timing_file:
         timings.append_tsv(args.timing_file, n_threads=args.n_threads,
-                           min_seed_len=opt.min_seed_len, n_reads=n)
+                           min_seed_len=opt.min_seed_len,
+                           seed_type=opt.seed_type, dp_type=opt.dp_type,
+                           n_reads_total=n)
     if out is not sys.stdout:
         out.close()
     return 0

@@ -323,6 +323,9 @@ class MemAligner:
         self.opt = opt
         self.idx = idx
         self.mesh = mesh
+        # run counters (reference: no_of_extensions[tid] src/bwamem.c:2113
+        # and the seed/extension tallies in the exit report)
+        self.stats = {"n_reads": 0, "n_seeds": 0, "n_extensions": 0}
         self.fm = fm or DeviceFMIndex.from_host(idx)
         if mesh is not None:
             from ..parallel.sharded import replicate_index
@@ -419,6 +422,7 @@ class MemAligner:
             import sys
             print("[bwamem-tpu] warning: seed pool overflow at max size; "
                   "some seeds dropped", file=sys.stderr)
+        self.stats["n_seeds"] += int(out["n_seeds"])
         v = out["valid"].astype(bool)
         rid = out["read_id"][v]
         cols = np.stack([out["qbeg"][v], out["qend"][v],
@@ -467,6 +471,8 @@ class MemAligner:
         if opt.verbose >= 4:
             _dump_regs(per_read_regs, stage="pre-extension")
 
+        self.stats["n_reads"] += len(seqs)
+        self.stats["n_extensions"] += len(jobs)
         run_extension_jobs(self.ext_params, opt.mat, jobs, opt.pen_clip5,
                            mesh=self.mesh)
 
