@@ -35,7 +35,7 @@ def main() -> None:
     rng = np.random.default_rng(12345)
     genome_len = 4_600_000  # E. coli scale
     read_len = 150
-    batch = 8192
+    batch = 16384
 
     g = rng.integers(0, 4, genome_len, dtype=np.uint8)
     ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
