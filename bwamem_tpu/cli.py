@@ -52,6 +52,8 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-p", action="store_true", dest="smart_pairing",
                    help="smart pairing: reads file is interleaved PE")
     p.add_argument("-Y", action="store_true", dest="softclip_supp")
+    p.add_argument("-C", action="store_true", dest="copy_comment",
+                   help="append FASTA/FASTQ comment to SAM output")
     p.add_argument("-F", action="store_true", dest="shd_filter",
                    help="SHD (shifted-Hamming-distance) seed pre-filter")
     p.add_argument("-u", type=int, default=1, dest="seed_type",
@@ -262,6 +264,7 @@ def cmd_align(args) -> int:
         opt.T *= opt.a
     opt.T = args.min_score
     opt.verbose = args.verbosity
+    opt.copy_comment = args.copy_comment
     opt.dp_type = args.dp_type
     if args.dp_type in (1, 2):
         print("[bwamem-tpu] note: -e 1/2 select CPU DP paths in the "

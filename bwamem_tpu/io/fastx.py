@@ -97,9 +97,12 @@ def _read_fastx_native(lib, path: str,
                     seq = table[codes[sb:se]]
                     qual = (view[qb : qb + (se - sb)].decode()
                             if qb >= 0 else None)
+                    # header tail after the name = the comment
+                    cm = view[ne : sb - 1].strip()
                     yield SeqRecord(
                         name=_trim_readno(view[nb:ne].decode()),
-                        seq=seq, qual=qual)
+                        seq=seq, qual=qual,
+                        comment=cm.decode() if cm else None)
                 consumed_total += consumed
                 if n < CAP:
                     break

@@ -247,7 +247,8 @@ def merge_extension_results(l_query: int, regs: list[AlnReg]) -> None:
 
 def mem_reg2sam(opt: MemOptions, idx: FMIndex, name: str, seq: np.ndarray,
                 qual, regs: list[AlnReg], extra_flag: int = 0,
-                mate: MemAln | None = None, rg_id=None) -> list[str]:
+                mate: MemAln | None = None, rg_id=None,
+                comment: str | None = None) -> list[str]:
     """reference: src/bwamem.c:1721-1775."""
     XA = None
     if not (opt.flag & MEM_F_ALL):
@@ -275,9 +276,9 @@ def mem_reg2sam(opt: MemOptions, idx: FMIndex, name: str, seq: np.ndarray,
         t = mem_reg2aln(opt, idx, len(seq), seq, None)
         t.flag |= extra_flag
         return [mem_aln2sam(opt, idx, name, seq, qual, 1, [t], 0, mate,
-                            rg_id=rg_id)]
+                            rg_id=rg_id, comment=comment)]
     return [mem_aln2sam(opt, idx, name, seq, qual, len(alns), alns, k, mate,
-                        rg_id=rg_id)
+                        rg_id=rg_id, comment=comment)
             for k in range(len(alns))]
 
 
@@ -486,7 +487,7 @@ class MemAligner:
         return out
 
     def emit_sam_batch(self, names, seqs, quals, per_read_regs,
-                       n_processed: int = 0) -> list[str]:
+                       n_processed: int = 0, comments=None) -> list[str]:
         """worker2 equivalent for SE (reference: src/bwamem.c:2451-2460):
         mark-primary + SAM per read, given collected regions."""
         opt, idx = self.opt, self.idx
@@ -494,8 +495,10 @@ class MemAligner:
         for b, seq in enumerate(seqs):
             regs, _ = mem_mark_primary_se(opt, per_read_regs[b],
                                           n_processed + b)
+            cm = comments[b] if comments and opt.copy_comment else None
             out_lines.extend(
-                mem_reg2sam(opt, idx, names[b], seq, quals[b], regs))
+                mem_reg2sam(opt, idx, names[b], seq, quals[b], regs,
+                            comment=cm))
         return out_lines
 
     def align_batch(self, names: list[str], seqs: list[np.ndarray],

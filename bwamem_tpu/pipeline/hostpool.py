@@ -23,26 +23,32 @@ import os
 _STATE = None  # (opt, idx) in workers, set pre-fork
 
 
-def _emit_se(opt, idx, names, seqs, quals, regs_lists, n_processed):
+def _emit_se(opt, idx, names, seqs, quals, regs_lists, n_processed,
+             comments=None):
     from .aligner import mem_reg2sam
     from .regions import mem_mark_primary_se
 
     out = []
     for b in range(len(seqs)):
         regs, _ = mem_mark_primary_se(opt, regs_lists[b], n_processed + b)
-        out.extend(mem_reg2sam(opt, idx, names[b], seqs[b], quals[b], regs))
+        cm = comments[b] if comments and opt.copy_comment else None
+        out.extend(mem_reg2sam(opt, idx, names[b], seqs[b], quals[b], regs,
+                               comment=cm))
     return out
 
 
-def _emit_pe(opt, idx, names, seqs, quals, pair_regs, pes, pair_id0):
+def _emit_pe(opt, idx, names, seqs, quals, pair_regs, pes, pair_id0,
+             comments=None):
     from .pairing import mem_sam_pe_finalize
 
     out = []
     for i in range(len(pair_regs)):
+        cm = (comments[i * 2 : i * 2 + 2]
+              if comments and opt.copy_comment else None)
         l0, l1 = mem_sam_pe_finalize(
             opt, idx, pes, pair_id0 + i,
             names[i * 2 : i * 2 + 2], seqs[i * 2 : i * 2 + 2],
-            quals[i * 2 : i * 2 + 2], pair_regs[i])
+            quals[i * 2 : i * 2 + 2], pair_regs[i], comments=cm)
         out.extend(l0)
         out.extend(l1)
     return out
@@ -50,15 +56,16 @@ def _emit_pe(opt, idx, names, seqs, quals, pair_regs, pes, pair_id0):
 
 def _se_task(args):
     opt, idx = _STATE
-    lo, names, seqs, quals, regs, n_processed = args
-    return _emit_se(opt, idx, names, seqs, quals, regs, n_processed + lo)
+    lo, names, seqs, quals, regs, n_processed, comments = args
+    return _emit_se(opt, idx, names, seqs, quals, regs, n_processed + lo,
+                    comments)
 
 
 def _pe_task(args):
     opt, idx = _STATE
-    lo_pair, names, seqs, quals, pair_regs, pes, n_pairs_done = args
+    lo_pair, names, seqs, quals, pair_regs, pes, n_pairs_done, comments = args
     return _emit_pe(opt, idx, names, seqs, quals, pair_regs, pes,
-                    n_pairs_done + lo_pair)
+                    n_pairs_done + lo_pair, comments)
 
 
 class HostPool:
@@ -92,12 +99,13 @@ class HostPool:
                 for lo in range(0, n_items, step)]
 
     def emit_se(self, names, seqs, quals, per_read_regs,
-                n_processed: int) -> list[str]:
+                n_processed: int, comments=None) -> list[str]:
         if self._pool is None:
             return _emit_se(self.opt, self.idx, names, seqs, quals,
-                            per_read_regs, n_processed)
+                            per_read_regs, n_processed, comments)
         tasks = [(lo, names[lo:hi], seqs[lo:hi], quals[lo:hi],
-                  per_read_regs[lo:hi], n_processed)
+                  per_read_regs[lo:hi], n_processed,
+                  comments[lo:hi] if comments else None)
                  for lo, hi in self._slices(len(seqs))]
         out: list[str] = []
         for lines in self._pool.map(_se_task, tasks):
@@ -105,13 +113,14 @@ class HostPool:
         return out
 
     def emit_pe(self, names, seqs, quals, pair_regs, pes,
-                n_processed: int) -> list[str]:
+                n_processed: int, comments=None) -> list[str]:
         if self._pool is None:
             return _emit_pe(self.opt, self.idx, names, seqs, quals,
-                            pair_regs, pes, n_processed >> 1)
+                            pair_regs, pes, n_processed >> 1, comments)
         tasks = [(lo, names[lo * 2 : hi * 2], seqs[lo * 2 : hi * 2],
                   quals[lo * 2 : hi * 2], pair_regs[lo:hi], pes,
-                  n_processed >> 1)
+                  n_processed >> 1,
+                  comments[lo * 2 : hi * 2] if comments else None)
                  for lo, hi in self._slices(len(pair_regs))]
         out: list[str] = []
         for lines in self._pool.map(_pe_task, tasks):

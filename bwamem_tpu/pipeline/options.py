@@ -76,6 +76,7 @@ class MemOptions:
     dp_type: int = 0           # -e: extension algorithm selector (fork,
     #                            src/bwamem.h:70; informational here — all
     #                            values use the batched device ksw path)
+    copy_comment: bool = False  # -C: append FASTA/Q comment to SAM
     verbose: int = 3           # -v: 1=err 2=warn 3=info 4+=debug dumps of
     #                            seeds/chains/regions (reference:
     #                            bwa_verbose, src/bwa.c:16 + the >=4 traces

@@ -354,7 +354,8 @@ def mem_sam_pe_finalize(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
                         id_: int, names: list[str],
                         seqs: list[np.ndarray], quals: list,
                         a: list[list[AlnReg]],
-                        rg_id=None) -> tuple[list[str], list[str]]:
+                        rg_id=None,
+                        comments=None) -> tuple[list[str], list[str]]:
     """Pairing + SAM for one pair, after rescue (reference:
     src/bwamem_pair.c:257-397 mem_sam_pe, minus the rescue block which
     runs batched in mem_pe_rescue_batch)."""
@@ -384,10 +385,12 @@ def mem_sam_pe_finalize(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
                 extra_flag |= 2
         l0 = mem_reg2sam(opt, idx, names[0], seqs[0], quals[0], a[0],
                          extra_flag=0x41 | extra_flag, mate=h[1],
-                         rg_id=rg_id)
+                         rg_id=rg_id,
+                         comment=comments[0] if comments else None)
         l1 = mem_reg2sam(opt, idx, names[1], seqs[1], quals[1], a[1],
                          extra_flag=0x81 | extra_flag, mate=h[0],
-                         rg_id=rg_id)
+                         rg_id=rg_id,
+                         comment=comments[1] if comments else None)
         return l0, l1
 
     if opt.flag & MEM_F_NOPAIRING:
@@ -459,5 +462,6 @@ def mem_sam_pe_finalize(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
         for w in range(len(aa[i])):
             lines[i].append(
                 mem_aln2sam(opt, idx, names[i], seqs[i], quals[i],
-                            len(aa[i]), aa[i], w, h[1 - i], rg_id=rg_id))
+                            len(aa[i]), aa[i], w, h[1 - i], rg_id=rg_id,
+                            comment=comments[i] if comments else None))
     return lines[0], lines[1]

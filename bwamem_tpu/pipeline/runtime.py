@@ -71,20 +71,22 @@ def run_pipeline(records: Iterator[SeqRecord], aligner, chunk_bases: int,
         names = [r.name for r in batch]
         seqs = [r.seq for r in batch]
         quals = [r.qual for r in batch]
+        comments = [r.comment for r in batch]
         with timings.span("collect"):
             if paired:
                 regs, pes = aligner.collect_pairs_batch(seqs)
             else:
                 regs, pes = aligner.collect_regs_batch(seqs), None
-        return names, seqs, quals, regs, pes
+        return names, seqs, quals, regs, pes, comments
 
     def finalize(res, n_processed):
-        names, seqs, quals, regs, pes = res
+        names, seqs, quals, regs, pes, comments = res
         with timings.span("finalize"):
             if paired:
                 return pool.emit_pe(names, seqs, quals, regs, pes,
-                                    n_processed)
-            return pool.emit_se(names, seqs, quals, regs, n_processed)
+                                    n_processed, comments)
+            return pool.emit_se(names, seqs, quals, regs, n_processed,
+                                comments)
 
     rt = threading.Thread(target=reader, daemon=True)
     wt = threading.Thread(target=writer, daemon=True)

@@ -29,8 +29,9 @@ def test_fastq_native_matches_python(tmp_path, lib):
     b = list(_read_fastx_py(p))
     assert len(a) == len(b) == 500
     for x, y in zip(a, b):
-        assert x.name == y.name == x.name
+        assert x.name == y.name
         assert x.qual == y.qual
+        assert x.comment == y.comment
         np.testing.assert_array_equal(x.seq, y.seq)
     assert a[0].name == "q0"  # /2 trimmed
 
