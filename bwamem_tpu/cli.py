@@ -54,6 +54,9 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-Y", action="store_true", dest="softclip_supp")
     p.add_argument("-C", action="store_true", dest="copy_comment",
                    help="append FASTA/FASTQ comment to SAM output")
+    p.add_argument("-I", default=None, dest="insert_spec",
+                   help="fixed FR insert size: mean[,std[,max[,min]]] "
+                        "(skips per-chunk inference)")
     p.add_argument("-F", action="store_true", dest="shd_filter",
                    help="SHD (shifted-Hamming-distance) seed pre-filter")
     p.add_argument("-u", type=int, default=1, dest="seed_type",
@@ -318,6 +321,15 @@ def cmd_align(args) -> int:
             print(f"[bwamem-tpu] data-parallel over {n} devices",
                   file=sys.stderr)
     aligner = MemAligner(opt, idx, seed_cfg=seed_cfg, mesh=mesh)
+    if args.insert_spec:
+        from .pipeline.pairing import pestat_from_spec
+
+        aligner.pes_fixed = pestat_from_spec(args.insert_spec)
+        print("[bwamem-tpu] fixed insert-size model (FR): "
+              f"avg={aligner.pes_fixed[1].avg:.1f} "
+              f"std={aligner.pes_fixed[1].std:.1f} "
+              f"bounds=[{aligner.pes_fixed[1].low},"
+              f"{aligner.pes_fixed[1].high}]", file=sys.stderr)
     if args.mates is not None:
         records = _interleave(read_fastx(args.reads), read_fastx(args.mates))
     elif paired:  # -p smart pairing: single interleaved file

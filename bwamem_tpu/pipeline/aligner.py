@@ -327,6 +327,7 @@ class MemAligner:
         # run counters (reference: no_of_extensions[tid] src/bwamem.c:2113
         # and the seed/extension tallies in the exit report)
         self.stats = {"n_reads": 0, "n_seeds": 0, "n_extensions": 0}
+        self.pes_fixed = None  # -I fixed insert-size model (pes0)
         self.fm = fm or DeviceFMIndex.from_host(idx)
         if mesh is not None:
             from ..parallel.sharded import replicate_index
@@ -536,7 +537,8 @@ class MemAligner:
                 "reads — not valid interleaved PE data")
         per_read_regs = self.collect_regs_batch(seqs)
         if pes is None:
-            pes = mem_pestat(opt, idx.l_pac, per_read_regs)
+            pes = self.pes_fixed or mem_pestat(opt, idx.l_pac,
+                                               per_read_regs)
         n_pairs = len(seqs) >> 1
         pair_seqs = [(seqs[i << 1], seqs[i << 1 | 1])
                      for i in range(n_pairs)]

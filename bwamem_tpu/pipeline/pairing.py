@@ -127,6 +127,24 @@ def mem_pestat(opt: MemOptions, l_pac: int,
     return pes
 
 
+def pestat_from_spec(spec: str) -> list[PEStat]:
+    """-I mean[,std[,max[,min]]]: fixed FR insert-size model (reference:
+    src/fastmap.c:250-267); other orientations stay failed."""
+    parts = [float(x) for x in spec.replace("/", ",").split(",") if x]
+    pes = [PEStat() for _ in range(4)]
+    fr = pes[1]
+    fr.failed = False
+    fr.avg = parts[0]
+    fr.std = parts[1] if len(parts) > 1 else fr.avg * 0.1
+    fr.high = int(fr.avg + 4.0 * fr.std + 0.499)
+    fr.low = max(int(fr.avg - 4.0 * fr.std + 0.499), 1)
+    if len(parts) > 2:
+        fr.high = int(parts[2] + 0.499)
+    if len(parts) > 3:
+        fr.low = int(parts[3] + 0.499)
+    return pes
+
+
 # ---------------------------------------------------------------- rescue --
 
 @dataclass
