@@ -44,7 +44,33 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-K", type=int, default=10_000_000, dest="chunk_size")
     p.add_argument("-a", action="store_true", dest="all_alignments",
                    help="output all alignments (SE only)")
-    p.add_argument("-M", action="store_true", dest="mark_short_split")
+    p.add_argument("-M", action="store_true", dest="mark_short_split",
+                   help="mark shorter split hits as secondary")
+    p.add_argument("-U", type=int, default=None, dest="pen_unpaired",
+                   help="penalty for an unpaired read pair")
+    p.add_argument("-D", type=float, default=None, dest="drop_ratio",
+                   help="drop secondary alignments below max_score*FLOAT")
+    p.add_argument("-m", type=int, default=None, dest="max_matesw",
+                   help="max mate-rescue rounds per read")
+    p.add_argument("--xa-hits", default=None, dest="max_xa_hits",
+                   help="max XA hits INT[,INT for ALT] (-h in the reference)")
+    p.add_argument("-s", type=int, default=None, dest="split_width",
+                   help="split width (reserved; all-MEM mode covers re-seeding)")
+    p.add_argument("-r", type=float, default=None, dest="split_factor",
+                   help="split factor")
+    p.add_argument("-G", type=int, default=None, dest="max_chain_gap",
+                   help="max chain gap")
+    p.add_argument("-X", type=float, default=None, dest="mask_level",
+                   help="chain overlap mask level")
+    p.add_argument("-H", default=None, dest="header_insert",
+                   help="insert STR (if it starts with @) or lines of FILE "
+                        "into the SAM header")
+    p.add_argument("-z", action="store_true", dest="use_avx2",
+                   help="(reference: AVX2 SW path; no-op here — extension "
+                        "always runs the batched device kernel)")
+    p.add_argument("-l", type=int, default=None, dest="read_len",
+                   help="(reference: read length for timing reports; "
+                        "detected automatically here)")
     p.add_argument("-S", action="store_true", dest="skip_pairing",
                    help="skip pairing; mate rescue performed unless -P also in use")
     p.add_argument("-P", action="store_true", dest="skip_rescue",
@@ -282,6 +308,29 @@ def cmd_align(args) -> int:
     opt.re_seed = args.re_seed
     if args.all_alignments:
         opt.flag |= MEM_F_ALL
+    if args.mark_short_split:
+        from .pipeline.options import MEM_F_NO_MULTI
+
+        opt.flag |= MEM_F_NO_MULTI
+    if args.pen_unpaired is not None:
+        opt.pen_unpaired = args.pen_unpaired
+    if args.drop_ratio is not None:
+        opt.drop_ratio = args.drop_ratio
+    if args.max_matesw is not None:
+        opt.max_matesw = args.max_matesw
+    if args.max_xa_hits is not None:
+        parts = str(args.max_xa_hits).split(",")
+        opt.max_XA_hits = int(parts[0])
+        if len(parts) > 1:
+            opt.max_XA_hits_alt = int(parts[1])
+    if args.split_width is not None:
+        opt.split_width = args.split_width
+    if args.split_factor is not None:
+        opt.split_factor = args.split_factor
+    if args.max_chain_gap is not None:
+        opt.max_chain_gap = args.max_chain_gap
+    if args.mask_level is not None:
+        opt.mask_level = args.mask_level
     if args.softclip_supp:
         opt.flag |= MEM_F_SOFTCLIP
     paired = args.mates is not None or args.smart_pairing
@@ -342,6 +391,14 @@ def cmd_align(args) -> int:
     cmdline = "bwamem-tpu " + " ".join(sys.argv[1:])
     for line in _sam_header(idx, args.rg_line, cmdline):
         out.write(line + "\n")
+    if args.header_insert:  # -H (reference: src/bwa.c:425-466)
+        if args.header_insert.startswith("@"):
+            out.write(args.header_insert.replace("\\t", "\t") + "\n")
+        else:
+            with open(args.header_insert) as hf:
+                for hl in hf:
+                    if hl.strip():
+                        out.write(hl.rstrip("\n") + "\n")
     try:
         n = run_pipeline(records, aligner,
                          opt.chunk_size * max(args.n_threads, 1), out,
