@@ -52,6 +52,11 @@ class Annotation:
     lengths: list[int]   # per-sequence lengths
     offsets: list[int]   # per-sequence start offsets in the forward pac
     ambs: list[tuple[int, int]] = field(default_factory=list)  # (offset, len) N runs
+    is_alt: list[bool] = field(default_factory=list)  # ALT contig flags
+    #   (reference: bns->anns[i].is_alt, read from <prefix>.alt)
+
+    def alt_of(self, rid: int) -> bool:
+        return bool(self.is_alt[rid]) if self.is_alt else False
 
     def pos_to_rid(self, pos: int) -> int:
         """Forward-strand position -> reference id; -1 if out of range.
@@ -164,6 +169,19 @@ class FMIndex:
     def load(cls, path: str) -> "FMIndex":
         if not path.endswith(".npz"):
             path = path + ".npz"
+        import os
+
+        alt_names: set = set()
+        alt_path = path[: -len(".bmt.npz")] + ".alt" \
+            if path.endswith(".bmt.npz") else path + ".alt"
+        if os.path.exists(alt_path):
+            # bwa convention: the .alt file is SAM-ish; the first token of
+            # each non-header line names an ALT contig (bns_restore)
+            with open(alt_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line and not line.startswith("@"):
+                        alt_names.add(line.split()[0])
         with np.load(path) as z:
             meta = json.loads(bytes(z["meta"]).decode())
             ann = Annotation(
@@ -171,6 +189,7 @@ class FMIndex:
                 lengths=list(meta["lengths"]),
                 offsets=list(meta["offsets"]),
                 ambs=[tuple(a) for a in meta["ambs"]],
+                is_alt=[n in alt_names for n in meta["names"]],
             )
             return cls(
                 l_pac=int(meta["l_pac"]),

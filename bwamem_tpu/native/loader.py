@@ -77,7 +77,8 @@ def try_load():
         lib.bm_chain_batch.restype = ctypes.c_int64
         lib.bm_chain_batch.argtypes = [
             i32p, i32p, i64p, i64p, i64p, ctypes.c_int64, i32p,
-            i64p, ctypes.c_int64, ctypes.c_int64,
+            i64p, ctypes.POINTER(ctypes.c_int8),
+            ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_double, ctypes.c_double, ctypes.c_int32,
             ctypes.c_int64,

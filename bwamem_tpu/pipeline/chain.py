@@ -112,6 +112,9 @@ def chain_batch(opt: MemOptions, idx: FMIndex, l_queries: list[int],
     oc = np.fromiter((t[3] for t in flat), np.int64, n)
     lq = np.asarray(l_queries, np.int32)
     ann_off = np.asarray(idx.ann.offsets, np.int64)
+    ann_alt = np.asarray(
+        [1 if idx.ann.alt_of(r) else 0 for r in range(len(ann_off))],
+        np.int8)
 
     seed_cap = max(n * 2, 64)
     chain_cap = max(n, 64)
@@ -130,9 +133,10 @@ def chain_batch(opt: MemOptions, idx: FMIndex, l_queries: list[int],
         p32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         p64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         pdb = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        p8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
         lib.bm_chain_batch(
             p32(qb), p32(qe), p64(rb), p64(oc), p64(bounds), n_reads,
-            p32(lq), p64(ann_off), len(ann_off), idx.l_pac,
+            p32(lq), p64(ann_off), p8(ann_alt), len(ann_off), idx.l_pac,
             opt.w, opt.max_chain_gap, opt.max_occ, opt.min_seed_len,
             opt.mask_level, opt.drop_ratio, opt.min_chain_weight,
             min(opt.max_chain_extend, 1 << 62),
@@ -151,9 +155,10 @@ def chain_batch(opt: MemOptions, idx: FMIndex, l_queries: list[int],
         seeds = [Seed(rbeg=int(o_srb[off + t]), qbeg=int(o_sqb[off + t]),
                       len=int(o_sln[off + t]), score=int(o_sln[off + t]))
                  for t in range(ns)]
-        c = Chain(pos=seeds[0].rbeg, rid=int(o_rid[ci]), seeds=seeds,
+        rid_i = int(o_rid[ci])
+        c = Chain(pos=seeds[0].rbeg, rid=rid_i, seeds=seeds,
                   frac_rep=float(o_fr[ci]), w=int(o_w[ci]),
-                  kept=int(o_kept[ci]))
+                  kept=int(o_kept[ci]), is_alt=idx.ann.alt_of(rid_i))
         out[int(o_crd[ci])].append(c)
     return out
 
@@ -209,7 +214,7 @@ def mem_chain(opt: MemOptions, idx: FMIndex, l_query: int,
                 to_add = True
             if to_add:
                 c = Chain(pos=rbeg, rid=rid, seeds=[s],
-                          is_alt=False)  # ALT contigs: not yet supported
+                          is_alt=idx.ann.alt_of(rid))
                 j = bisect.bisect_right(keys, rbeg)
                 keys.insert(j, rbeg)
                 chains.insert(j, c)

@@ -116,8 +116,9 @@ int32_t chain_weight(const Chain& c) {
 extern "C" int64_t bm_chain_batch(
     const int32_t* s_qbeg, const int32_t* s_qend, const int64_t* s_rbeg,
     const int64_t* s_nocc, const int64_t* bounds, int64_t n_reads,
-    const int32_t* l_query, const int64_t* ann_off, int64_t n_ann,
-    int64_t l_pac, int32_t w, int32_t max_chain_gap, int32_t max_occ,
+    const int32_t* l_query, const int64_t* ann_off,
+    const int8_t* ann_alt /* per-rid ALT flags, may be null */,
+    int64_t n_ann, int64_t l_pac, int32_t w, int32_t max_chain_gap, int32_t max_occ,
     int32_t min_seed_len, double mask_level, double drop_ratio,
     int32_t min_chain_weight, int64_t max_chain_extend,
     int64_t* o_seed_rbeg, int32_t* o_seed_qbeg, int32_t* o_seed_len,
@@ -204,7 +205,11 @@ extern "C" int64_t bm_chain_batch(
         Chain& cj = chains[order[j]];
         int64_t b_max = std::max(chn_beg(cj), chn_beg(ci));
         int64_t e_min = std::min(chn_end(cj), chn_end(ci));
-        if (e_min > b_max) {  // (no ALT contigs yet: is_alt always false)
+        bool cj_alt = ann_alt && ann_alt[cj.rid];
+        bool ci_alt = ann_alt && ann_alt[ci.rid];
+        // an ALT chain never shadows a primary chain
+        // (reference: src/bwamem.c:517 `!a[j].is_alt || a[i].is_alt`)
+        if (e_min > b_max && (!cj_alt || ci_alt)) {
           int64_t li = chn_end(ci) - chn_beg(ci);
           int64_t lj = chn_end(cj) - chn_beg(cj);
           int64_t min_l = std::min(li, lj);

@@ -110,3 +110,44 @@ def test_short_read(env):
     al = MemAligner(MemOptions(), idx)
     lines = al.align_batch(["tiny"], [g[100:110].copy()])
     assert int(lines[0].split("\t")[1]) & 4
+
+
+def test_alt_contig_handling(tmp_path):
+    """A contig listed in <prefix>.alt is an ALT: reads matching both the
+    primary locus and its ALT copy map to the PRIMARY deterministically
+    (reference: is_alt precedence in mem_chain_flt/mem_mark_primary_se),
+    with the alt score in the pa:f tag; without the .alt file the tie is
+    hash-random with mapq 0."""
+    from bwamem_tpu.index.format import FMIndex
+
+    rng = np.random.default_rng(77)
+    g1 = rng.integers(0, 4, 12000, dtype=np.uint8)
+    alt_copy = g1[4000:5000]
+    g = np.concatenate([g1, alt_copy])
+    ann = Annotation(names=["chr1", "chr1_alt"], lengths=[12000, 1000],
+                     offsets=[0, 12000])
+    idx = build_index_from_codes(g, ann, sa_intv=8)
+    p = str(tmp_path / "alt_idx.bmt")
+    idx.save(p)
+    (tmp_path / "alt_idx.alt").write_text("chr1_alt\t0\t*\n")
+
+    read = g1[4200:4350].copy()
+
+    # without .alt: ambiguous (mapq 0)
+    al0 = MemAligner(MemOptions(), idx)
+    l0 = al0.align_batch(["r"], [read.copy()])
+    assert int(l0[0].split("\t")[4]) == 0
+
+    # with .alt: primary contig wins, confident mapq, pa tag present
+    idx2 = FMIndex.load(p)
+    assert idx2.ann.alt_of(1) and not idx2.ann.alt_of(0)
+    al = MemAligner(MemOptions(), idx2)
+    lines = al.align_batch(["r"], [read.copy()])
+    prim = [l for l in lines if not int(l.split("\t")[1]) & 0x900]
+    assert len(prim) == 1
+    f = prim[0].split("\t")
+    assert f[2] == "chr1" and abs(int(f[3]) - 1 - 4200) <= 5
+    assert int(f[4]) > 0
+    # the ALT hit is reported via XA on the primary record
+    xa = [t for t in f[11:] if t.startswith("XA:Z:")]
+    assert xa and "chr1_alt" in xa[0]
