@@ -23,7 +23,7 @@ _lock = threading.Lock()
 _lib = None
 _load_failed = False
 
-_SOURCES = ["sais.cpp", "ksw.cpp", "fastx.cpp", "chain.cpp"]
+_SOURCES = ["sais.cpp", "ksw.cpp", "fastx.cpp", "chain.cpp", "chain2aln.cpp"]
 
 
 def _build() -> bool:
@@ -86,6 +86,31 @@ def try_load():
             i32p, i32p, i32p, i32p, i64p, i32p,
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, i64p,
         ]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        dbp = ctypes.POINTER(ctypes.c_double)
+        lib.bm_chain2aln_batch.restype = ctypes.c_int64
+        lib.bm_chain2aln_batch.argtypes = [
+            i32p, i32p, dbp, i64p, i32p, ctypes.c_int64,      # chains
+            i64p, i32p, i32p,                                  # seeds
+            u8p, ctypes.c_int64, i32p,                         # reads
+            u32p, ctypes.c_int64, i64p, i8p, ctypes.c_int64,   # reference
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,    # a w o_del
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,    # e_del o_ins e_ins
+            i32p, i32p, i8p, dbp, i32p, i32p, i64p, i8p,       # regs...
+            i64p, i32p,
+            i32p, i32p, i32p, i64p, i64p, i32p, ctypes.c_int64,
+            i64p, i8p, i32p, i32p, i32p, i64p, i64p,
+            ctypes.c_int64,
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+            i64p,
+        ]
+        lib.bm_scatter_jobs.restype = None
+        lib.bm_scatter_jobs.argtypes = [
+            u8p, i64p, i32p, i64p, ctypes.c_int64, i32p,
+            ctypes.c_int64, ctypes.c_int32,
+        ]
         lib.bm_fastx_scan.restype = ctypes.c_int64
         lib.bm_fastx_scan.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
@@ -137,6 +162,105 @@ def ksw_global_native(lib, query, target, mat, o_del, e_del, o_ins, e_ins,
         raise RuntimeError("bm_ksw_global failed")
     cigar = [(int(c & 0xF), int(c >> 4)) for c in cig[: n_cigar.value]]
     return int(score.value), cigar
+
+
+def chain2aln_native(lib, opt, idx, raw, reads_flat: np.ndarray,
+                     read_stride: int, l_query: np.ndarray):
+    """Run bm_chain2aln_batch over chain_batch_raw output. Returns a dict
+    of reg/job arrays + sequence streams, or retries with bigger caps."""
+    import ctypes
+
+    n_chains = raw["n_chains"]
+    n_seeds = raw["n_seeds"]
+    ann_off = np.asarray(idx.ann.offsets, np.int64)
+    ann_alt = np.asarray(
+        [1 if idx.ann.alt_of(r) else 0 for r in range(len(ann_off))],
+        np.int8)
+    pac = idx.pac_words.view(np.uint32)
+    p32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    p64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    p8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+    pu8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    pu32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    pdb = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+    reg_cap = max(n_seeds + 16, 64)
+    job_cap = reg_cap * 2
+    stream_cap = max(int(l_query.sum()) * 2 + (1 << 16), 1 << 16)
+    while True:
+        R = dict(
+            read=np.empty(reg_cap, np.int32),
+            rid=np.empty(reg_cap, np.int32),
+            is_alt=np.empty(reg_cap, np.int8),
+            frac=np.empty(reg_cap, np.float64),
+            seedlen0=np.empty(reg_cap, np.int32),
+            qseed=np.empty(reg_cap, np.int32),
+            rseed=np.empty(reg_cap, np.int64),
+            sides=np.empty(reg_cap, np.int8),
+            chain_soff=np.empty(reg_cap, np.int64),
+            chain_ns=np.empty(reg_cap, np.int32),
+            score0=np.empty(reg_cap, np.int32),
+            qb0=np.empty(reg_cap, np.int32),
+            qe0=np.empty(reg_cap, np.int32),
+            rb0=np.empty(reg_cap, np.int64),
+            re0=np.empty(reg_cap, np.int64),
+            seedcov0=np.empty(reg_cap, np.int32),
+        )
+        J = dict(
+            reg=np.empty(job_cap, np.int64),
+            side=np.empty(job_cap, np.int8),
+            h0=np.empty(job_cap, np.int32),
+            qlen=np.empty(job_cap, np.int32),
+            tlen=np.empty(job_cap, np.int32),
+            qoff=np.empty(job_cap, np.int64),
+            toff=np.empty(job_cap, np.int64),
+        )
+        qstream = np.empty(stream_cap, np.uint8)
+        tstream = np.empty(stream_cap * 3, np.uint8)
+        counts = np.zeros(5, np.int64)
+        lib.bm_chain2aln_batch(
+            p32(raw["c_read"]), p32(raw["c_rid"]), pdb(raw["c_frac"]),
+            p64(raw["c_soff"]), p32(raw["c_ns"]), n_chains,
+            p64(raw["s_rbeg"]), p32(raw["s_qbeg"]), p32(raw["s_len"]),
+            pu8(reads_flat), read_stride, p32(l_query),
+            pu32(pac), idx.l_pac, p64(ann_off), p8(ann_alt), len(ann_off),
+            opt.a, opt.w, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            p32(R["read"]), p32(R["rid"]), p8(R["is_alt"]), pdb(R["frac"]),
+            p32(R["seedlen0"]), p32(R["qseed"]), p64(R["rseed"]),
+            p8(R["sides"]), p64(R["chain_soff"]), p32(R["chain_ns"]),
+            p32(R["score0"]), p32(R["qb0"]), p32(R["qe0"]), p64(R["rb0"]),
+            p64(R["re0"]), p32(R["seedcov0"]), reg_cap,
+            p64(J["reg"]), p8(J["side"]), p32(J["h0"]), p32(J["qlen"]),
+            p32(J["tlen"]), p64(J["qoff"]), p64(J["toff"]), job_cap,
+            pu8(qstream), stream_cap, pu8(tstream), stream_cap * 3,
+            p64(counts),
+        )
+        if not counts[4]:
+            break
+        reg_cap *= 2
+        job_cap *= 2
+        stream_cap *= 2
+    return dict(n_regs=int(counts[0]), n_jobs=int(counts[1]),
+                regs=R, jobs=J, qstream=qstream, tstream=tstream)
+
+
+def scatter_jobs(lib, stream, offs, lens, sel, max_len, fill=4):
+    """Pad selected var-length stream slices into an (n_sel, max_len)
+    int32 batch."""
+    import ctypes
+
+    sel = np.ascontiguousarray(sel, np.int64)
+    out = np.full((len(sel), max_len), fill, np.int32)
+    if len(sel):
+        lib.bm_scatter_jobs(
+            stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(sel),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_len, fill)
+    return out
 
 
 def sais(lib, codes: np.ndarray) -> np.ndarray:

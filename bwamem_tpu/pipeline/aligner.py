@@ -435,6 +435,148 @@ class MemAligner:
             for b in range(len(seqs))
         ]
 
+    def _collect_native(self, seqs, seeds):
+        """Fast path: chaining AND chain2aln job construction run in the
+        native C++ core (flat arrays + sequence streams; no per-seed
+        Python objects). Used when the per-seed SW/SHD filter is inactive
+        (short reads, no -F); returns None to fall back."""
+        opt, idx = self.opt, self.idx
+        if opt.shd_filter or opt.min_chain_weight > 0 or opt.verbose >= 4:
+            return None
+        if max((len(s) for s in seqs), default=0) >= 500:
+            return None  # long reads: the SW seed filter may activate
+        from ..native import loader
+        from .chain import chain_batch_raw
+
+        lib = loader.try_load()
+        if lib is None:
+            return None
+        lqs = [len(s) for s in seqs]
+        raw = chain_batch_raw(opt, idx, lqs, seeds)
+        if raw is None:
+            return None
+        B = len(seqs)
+        L = max(lqs)
+        reads = np.full((B, L), 4, np.uint8)
+        for i, s in enumerate(seqs):
+            reads[i, : len(s)] = s
+        out = loader.chain2aln_native(
+            lib, opt, idx, raw, reads.reshape(-1), L,
+            np.asarray(lqs, np.int32))
+        nR = out["n_regs"]
+        R = out["regs"]
+
+        regs_objs: list[AlnReg] = []
+        for ri in range(nR):
+            a = AlnReg(w=opt.w, score=-1, truesc=-1,
+                       rid=int(R["rid"][ri]),
+                       frac_rep=float(R["frac"][ri]),
+                       is_alt=bool(R["is_alt"][ri]))
+            a.seedlen0 = int(R["seedlen0"][ri])
+            a.query_seed_begin = int(R["qseed"][ri])
+            a.target_seed_begin = int(R["rseed"][ri])
+            a.align_sides = int(R["sides"][ri])
+            if a.align_sides == 0:
+                a.score = a.truesc = int(R["score0"][ri])
+                a.qb, a.qe = int(R["qb0"][ri]), int(R["qe0"][ri])
+                a.rb, a.re = int(R["rb0"][ri]), int(R["re0"][ri])
+                a.seedcov = int(R["seedcov0"][ri])
+            regs_objs.append(a)
+
+        self.stats["n_reads"] += B
+        self.stats["n_extensions"] += out["n_jobs"]
+        self._run_jobs_arrays(out, regs_objs)
+
+        # L/R merge + seedcov from the kept-seed arrays
+        sq = raw["s_qbeg"].astype(np.int64)
+        sr = raw["s_rbeg"]
+        sl = raw["s_len"].astype(np.int64)
+        for ri, a in enumerate(regs_objs):
+            if a.align_sides == 0:
+                continue
+            a.score = a.part[LEFT][0] + a.part[RIGHT][0]
+            if a.align_sides == 2:
+                a.score -= a.seedlen0
+            a.qb = a.query_seed_begin - a.part[LEFT][1]
+            a.qe = a.query_seed_begin + a.seedlen0 + a.part[RIGHT][1]
+            a.rb = a.target_seed_begin - a.part[LEFT][2]
+            a.re = a.target_seed_begin + a.seedlen0 + a.part[RIGHT][2]
+            a.truesc = a.score
+            off = int(R["chain_soff"][ri])
+            ns = int(R["chain_ns"][ri])
+            tq, tr, tl = sq[off:off + ns], sr[off:off + ns], sl[off:off + ns]
+            m = ((tq >= a.qb) & (tq + tl <= a.qe)
+                 & (tr >= a.rb) & (tr + tl <= a.re))
+            a.seedcov = int(tl[m].sum())
+
+        per: list[list[AlnReg]] = [[] for _ in range(B)]
+        reads_of = R["read"]
+        for ri, a in enumerate(regs_objs):
+            per[int(reads_of[ri])].append(a)
+        return [mem_sort_dedup_patch(opt, idx, seqs[b], per[b])
+                for b in range(B)]
+
+    def _run_jobs_arrays(self, out, regs_objs) -> None:
+        """Bucketed device extension over array-form jobs (the native fast
+        path\'s equivalent of run_extension_jobs)."""
+        from ..native import loader
+
+        opt = self.opt
+        J = out["jobs"]
+        nJ = out["n_jobs"]
+        if nJ == 0:
+            return
+        lib = loader.try_load()
+        qlen = J["qlen"][:nJ]
+        tlen = J["tlen"][:nJ]
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        assigned = np.zeros(nJ, bool)
+        for bound in (64, 192, 1 << 30):
+            m = (~assigned) & (qlen <= bound)
+            assigned |= m
+            sel = np.nonzero(m)[0].astype(np.int64)
+            if not len(sel):
+                continue
+            QMAX = bucket_len(int(qlen[sel].max()))
+            TMAX = bucket_len(int(tlen[sel].max()))
+            N = -(-bucket_count(len(sel)) // n_dev) * n_dev
+            Q = loader.scatter_jobs(lib, out["qstream"], J["qoff"],
+                                    J["qlen"], sel, QMAX)
+            T = loader.scatter_jobs(lib, out["tstream"], J["toff"],
+                                    J["tlen"], sel, TMAX)
+            if N != len(sel):
+                Q = np.vstack(
+                    [Q, np.full((N - len(sel), QMAX), 4, np.int32)])
+                T = np.vstack(
+                    [T, np.full((N - len(sel), TMAX), 4, np.int32)])
+            ql = np.zeros(N, np.int32)
+            tl = np.zeros(N, np.int32)
+            h0 = np.ones(N, np.int32)
+            ql[: len(sel)] = qlen[sel]
+            tl[: len(sel)] = tlen[sel]
+            h0[: len(sel)] = J["h0"][:nJ][sel]
+            if self.mesh is not None:
+                from ..parallel.sharded import sharded_extend_batch
+
+                res = sharded_extend_batch(
+                    self.mesh, jnp.asarray(Q), jnp.asarray(T),
+                    jnp.asarray(ql), jnp.asarray(tl), jnp.asarray(h0),
+                    jnp.asarray(opt.mat), self.ext_params)
+            else:
+                res = extend_batch_auto(
+                    jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql),
+                    jnp.asarray(tl), jnp.asarray(h0), jnp.asarray(opt.mat),
+                    self.ext_params)
+            sc, qe, te = end_choice(res["score"], res["qle"], res["tle"],
+                                    res["gscore"], res["gtle"],
+                                    jnp.asarray(ql), opt.pen_clip5)
+            sc, qe, te = np.asarray(jnp.stack([sc, qe, te]))
+            jreg = J["reg"][:nJ][sel]
+            jside = J["side"][:nJ][sel]
+            for i in range(len(sel)):
+                regs_objs[int(jreg[i])].part[int(jside[i])] = [
+                    int(sc[i]), int(qe[i]), int(te[i])]
+
     def collect_regs_batch(
             self, seqs: list[np.ndarray]) -> list[list[AlnReg]]:
         """Device seeding + host chaining + ONE batched device extension
@@ -445,6 +587,9 @@ class MemAligner:
 
         opt, idx = self.opt, self.idx
         seeds = self.seed_batch(seqs)
+        fast = self._collect_native(seqs, seeds)
+        if fast is not None:
+            return fast
 
         # phase 1: chains + chain filter for every read (native C++ core
         # when available, one GIL-free call for the whole batch); per-seed

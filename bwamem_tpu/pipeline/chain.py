@@ -82,21 +82,18 @@ def _test_and_merge(opt: MemOptions, l_pac: int, c: Chain, s: Seed,
     return False
 
 
-def chain_batch(opt: MemOptions, idx: FMIndex, l_queries: list[int],
-                per_read_seeds) -> list[list[Chain]]:
-    """Chain + filter a whole batch: native C++ core when available
-    (native/chain.cpp — GIL-free, one call per chunk), Python fallback
-    otherwise. Both produce identical chains (tests/test_native_chain.py).
-    """
+def chain_batch_raw(opt: MemOptions, idx: FMIndex, l_queries: list[int],
+                    per_read_seeds):
+    """Native chaining returning the raw flat arrays (chain table +
+    kept-seed arrays) for zero-object downstream consumption; None when
+    the native lib is unavailable."""
     import numpy as np
 
     from ..native import loader
 
     lib = loader.try_load()
     if lib is None:
-        return [mem_chain_flt(opt, mem_chain(opt, idx, l_queries[b],
-                                             per_read_seeds[b]))
-                for b in range(len(l_queries))]
+        return None
 
     import ctypes
 
@@ -149,17 +146,36 @@ def chain_batch(opt: MemOptions, idx: FMIndex, l_queries: list[int],
         seed_cap *= 2
         chain_cap *= 2
 
-    out: list[list[Chain]] = [[] for _ in range(n_reads)]
-    for ci in range(int(counts[0])):
-        off, ns = int(o_off[ci]), int(o_ns[ci])
-        seeds = [Seed(rbeg=int(o_srb[off + t]), qbeg=int(o_sqb[off + t]),
-                      len=int(o_sln[off + t]), score=int(o_sln[off + t]))
+    return dict(n_chains=int(counts[0]), n_seeds=int(counts[1]),
+                c_read=o_crd, c_rid=o_rid, c_w=o_w, c_kept=o_kept,
+                c_soff=o_off, c_ns=o_ns, c_frac=o_fr,
+                s_rbeg=o_srb, s_qbeg=o_sqb, s_len=o_sln)
+
+
+def chain_batch(opt: MemOptions, idx: FMIndex, l_queries: list[int],
+                per_read_seeds) -> list[list[Chain]]:
+    """Chain + filter a whole batch: native C++ core when available
+    (native/chain.cpp — GIL-free, one call per chunk), Python fallback
+    otherwise. Both produce identical chains (tests/test_native_chain.py).
+    """
+    raw = chain_batch_raw(opt, idx, l_queries, per_read_seeds)
+    if raw is None:
+        return [mem_chain_flt(opt, mem_chain(opt, idx, l_queries[b],
+                                             per_read_seeds[b]))
+                for b in range(len(l_queries))]
+    out: list[list[Chain]] = [[] for _ in range(len(l_queries))]
+    for ci in range(raw["n_chains"]):
+        off, ns = int(raw["c_soff"][ci]), int(raw["c_ns"][ci])
+        seeds = [Seed(rbeg=int(raw["s_rbeg"][off + t]),
+                      qbeg=int(raw["s_qbeg"][off + t]),
+                      len=int(raw["s_len"][off + t]),
+                      score=int(raw["s_len"][off + t]))
                  for t in range(ns)]
-        rid_i = int(o_rid[ci])
+        rid_i = int(raw["c_rid"][ci])
         c = Chain(pos=seeds[0].rbeg, rid=rid_i, seeds=seeds,
-                  frac_rep=float(o_fr[ci]), w=int(o_w[ci]),
-                  kept=int(o_kept[ci]), is_alt=idx.ann.alt_of(rid_i))
-        out[int(o_crd[ci])].append(c)
+                  frac_rep=float(raw["c_frac"][ci]), w=int(raw["c_w"][ci]),
+                  kept=int(raw["c_kept"][ci]), is_alt=idx.ann.alt_of(rid_i))
+        out[int(raw["c_read"][ci])].append(c)
     return out
 
 

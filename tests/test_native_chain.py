@@ -61,3 +61,37 @@ def test_native_chain_empty_and_short(env):
     opt = MemOptions()
     out = chain_batch(opt, idx, [10, 150], [[], []])
     assert out == [[], []]
+
+
+def test_chain2aln_fast_path_matches_object_path(env):
+    """The native chain2aln fast path must emit byte-identical SAM to the
+    Python object path on mixed random batches."""
+    from unittest import mock
+
+    from bwamem_tpu.pipeline.aligner import MemAligner
+
+    g, idx = env
+    rng = np.random.default_rng(9)
+    names, seqs = [], []
+    for i in range(120):
+        ln = int(rng.integers(40, 260))
+        p = int(rng.integers(0, 40000 - ln))
+        r = g[p : p + ln].copy()
+        for _ in range(int(rng.integers(0, 10))):
+            r[int(rng.integers(0, ln))] = int(rng.integers(0, 5))
+        if i % 3 == 0:  # chimeric
+            p2 = int(rng.integers(0, 40000 - ln))
+            r[ln // 2:] = g[p2 + ln // 2 : p2 + ln]
+        if i % 2:
+            r = np.where(r < 4, 3 - r, 4).astype(r.dtype)[::-1]
+        names.append(f"d{i}")
+        seqs.append(r)
+
+    al = MemAligner(MemOptions(), idx)
+    fast = al.align_batch(names, seqs)
+
+    al2 = MemAligner(MemOptions(), idx)
+    with mock.patch.object(MemAligner, "_collect_native",
+                           lambda self, s, e: None):
+        slow = al2.align_batch(names, seqs)
+    assert fast == slow
