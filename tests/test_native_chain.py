@@ -95,3 +95,33 @@ def test_chain2aln_fast_path_matches_object_path(env):
                            lambda self, s, e: None):
         slow = al2.align_batch(names, seqs)
     assert fast == slow
+
+
+def test_chain2aln_fast_path_pe_differential(env):
+    """PE pipeline through the fast path == object path (pairing consumes
+    collect_regs_batch output, so rescue + finalize must see identical
+    regions)."""
+    from unittest import mock
+
+    from bwamem_tpu.pipeline.aligner import MemAligner
+
+    g, idx = env
+    rng = np.random.default_rng(12)
+    names, seqs = [], []
+    for i in range(25):
+        isize = int(rng.normal(350, 30))
+        isize = max(220, isize)
+        p = int(rng.integers(0, 25000 - isize - 1))
+        r1 = g[p : p + 100].copy()
+        r2 = np.where(g[p + isize - 100 : p + isize] < 4,
+                      3 - g[p + isize - 100 : p + isize], 4)[::-1].copy()
+        if i % 6 == 0:
+            for j in range(0, 100, 11):
+                r2[j] = (r2[j] + 1) % 4  # force rescue
+        names += [f"q{i}", f"q{i}"]
+        seqs += [r1, r2]
+    fast = MemAligner(MemOptions(), idx).align_pairs_batch(names, seqs)
+    with mock.patch.object(MemAligner, "_collect_native",
+                           lambda self, s, e: None):
+        slow = MemAligner(MemOptions(), idx).align_pairs_batch(names, seqs)
+    assert fast == slow
