@@ -78,6 +78,8 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-p", action="store_true", dest="smart_pairing",
                    help="smart pairing: reads file is interleaved PE")
     p.add_argument("-Y", action="store_true", dest="softclip_supp")
+    p.add_argument("-V", action="store_true", dest="ref_hdr",
+                   help="output the reference FASTA description in XR:Z")
     p.add_argument("-C", action="store_true", dest="copy_comment",
                    help="append FASTA/FASTQ comment to SAM output")
     p.add_argument("-I", default=None, dest="insert_spec",
@@ -294,6 +296,10 @@ def cmd_align(args) -> int:
     opt.T = args.min_score
     opt.verbose = args.verbosity
     opt.copy_comment = args.copy_comment
+    if args.ref_hdr:
+        from .pipeline.options import MEM_F_REF_HDR
+
+        opt.flag |= MEM_F_REF_HDR
     opt.dp_type = args.dp_type
     if args.dp_type in (1, 2):
         print("[bwamem-tpu] note: -e 1/2 select CPU DP paths in the "

@@ -19,10 +19,11 @@ from .format import Annotation, FMIndex, OCC_BLOCK_BASES, SSA_BLOCK_ROWS
 from .suffix_array import suffix_array
 
 
-def read_fasta(path: str) -> list[tuple[str, np.ndarray]]:
-    """Parse FASTA into [(name, codes)] with codes in 0..4."""
-    out: list[tuple[str, np.ndarray]] = []
+def read_fasta(path: str) -> list[tuple[str, np.ndarray, str]]:
+    """Parse FASTA into [(name, codes, description)] with codes 0..4."""
+    out: list = []
     name = None
+    anno = ""
     chunks: list[bytes] = []
     with open(path, "rb") as f:
         for line in f:
@@ -31,13 +32,15 @@ def read_fasta(path: str) -> list[tuple[str, np.ndarray]]:
                 continue
             if line.startswith(b">"):
                 if name is not None:
-                    out.append((name, encode(b"".join(chunks))))
-                name = line[1:].split()[0].decode()
+                    out.append((name, encode(b"".join(chunks)), anno))
+                parts = line[1:].split(None, 1)
+                name = parts[0].decode()
+                anno = parts[1].decode() if len(parts) > 1 else ""
                 chunks = []
             else:
                 chunks.append(line)
     if name is not None:
-        out.append((name, encode(b"".join(chunks))))
+        out.append((name, encode(b"".join(chunks)), anno))
     return out
 
 
@@ -63,12 +66,13 @@ def build_index(
     seqs = read_fasta(fasta_path)
     if not seqs:
         raise ValueError(f"no sequences in {fasta_path}")
-    names, lengths, offsets, ambs = [], [], [], []
+    names, lengths, offsets, ambs, annos = [], [], [], [], []
     parts = []
     off = 0
     rng = np.random.default_rng(rng_seed)
-    for name, codes in seqs:
+    for name, codes, anno in seqs:
         names.append(name)
+        annos.append(anno)
         lengths.append(len(codes))
         offsets.append(off)
         ambs.extend(_amb_runs(codes, off))
@@ -79,7 +83,8 @@ def build_index(
         parts.append(codes)
         off += len(codes)
     fwd = np.concatenate(parts).astype(np.uint8)
-    ann = Annotation(names=names, lengths=lengths, offsets=offsets, ambs=ambs)
+    ann = Annotation(names=names, lengths=lengths, offsets=offsets,
+                     ambs=ambs, annos=annos)
     return build_index_from_codes(fwd, ann, sa_intv=sa_intv)
 
 
@@ -91,11 +96,10 @@ def build_index_from_codes(
     if fwd.max(initial=0) > 3:
         raise ValueError("forward genome must be unambiguous (0..3)")
     l_pac = len(fwd)
-    if 2 * l_pac + 1 >= 2**31:
-        raise NotImplementedError(
-            "genomes with 2*l_pac >= 2^31 need the split-word position "
-            "scheme (not yet implemented)"
-        )
+    if 2 * l_pac + 1 >= 2**33:
+        raise ValueError(
+            "genomes with 2*l_pac >= 2^33 exceed the split-word scheme "
+            "(uint32 low + upper bits); not supported")
     T = np.concatenate([fwd, (3 - fwd)[::-1]]).astype(np.uint8)
     seq_len = len(T)
 

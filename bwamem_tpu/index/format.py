@@ -54,6 +54,11 @@ class Annotation:
     ambs: list[tuple[int, int]] = field(default_factory=list)  # (offset, len) N runs
     is_alt: list[bool] = field(default_factory=list)  # ALT contig flags
     #   (reference: bns->anns[i].is_alt, read from <prefix>.alt)
+    annos: list[str] = field(default_factory=list)  # FASTA descriptions
+    #   (reference: bns->anns[i].anno, emitted in XR:Z under -V)
+
+    def anno_of(self, rid: int) -> str:
+        return self.annos[rid] if self.annos else ""
 
     def alt_of(self, rid: int) -> bool:
         return bool(self.is_alt[rid]) if self.is_alt else False
@@ -151,6 +156,7 @@ class FMIndex:
             sa_intv=self.sa_intv,
             names=self.ann.names, lengths=self.ann.lengths,
             offsets=self.ann.offsets, ambs=self.ann.ambs,
+            annos=self.ann.annos,
             version=1,
         )
         np.savez(
@@ -190,6 +196,7 @@ class FMIndex:
                 offsets=list(meta["offsets"]),
                 ambs=[tuple(a) for a in meta["ambs"]],
                 is_alt=[n in alt_names for n in meta["names"]],
+                annos=list(meta.get("annos", [])),
             )
             return cls(
                 l_pac=int(meta["l_pac"]),

@@ -349,6 +349,12 @@ def mem_aln2sam(opt: MemOptions, idx: FMIndex, name: str, seq: np.ndarray,
             tags.append(f"pa:f:{p.score / p.alt_sc:.3f}")
     if p.XA:
         tags.append(f"XA:Z:{p.XA}")
+    from .options import MEM_F_REF_HDR
+
+    if (opt.flag & MEM_F_REF_HDR) and p.rid >= 0:
+        anno = idx.ann.anno_of(p.rid)
+        if anno:  # reference replaces TABs with spaces (src/bwamem.c:1678)
+            tags.append("XR:Z:" + anno.replace("\t", " "))
     if comment:
         tags.append(comment)
     return "\t".join(out + tags)
