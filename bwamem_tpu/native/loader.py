@@ -108,8 +108,8 @@ def try_load():
         ]
         lib.bm_scatter_jobs.restype = None
         lib.bm_scatter_jobs.argtypes = [
-            u8p, i64p, i32p, i64p, ctypes.c_int64, i32p,
-            ctypes.c_int64, ctypes.c_int32,
+            u8p, i64p, i32p, i64p, ctypes.c_int64, i8p,
+            ctypes.c_int64, ctypes.c_int8,
         ]
         lib.bm_fastx_scan.restype = ctypes.c_int64
         lib.bm_fastx_scan.argtypes = [
@@ -250,7 +250,7 @@ def scatter_jobs(lib, stream, offs, lens, sel, max_len, fill=4):
     import ctypes
 
     sel = np.ascontiguousarray(sel, np.int64)
-    out = np.full((len(sel), max_len), fill, np.int32)
+    out = np.empty((len(sel), max_len), np.int8)
     if len(sel):
         lib.bm_scatter_jobs(
             stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -258,8 +258,8 @@ def scatter_jobs(lib, stream, offs, lens, sel, max_len, fill=4):
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(sel),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            max_len, fill)
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            max_len, ctypes.c_int8(fill))
     return out
 
 

@@ -79,6 +79,8 @@ def extend_batch(
     qle/tle are consumed-length counts (0 = no extension), gscore = -1 when
     the query end was never reached, exactly as ksw_extend2 reports.
     """
+    query = query.astype(jnp.int32)
+    target = target.astype(jnp.int32)
     N, QMAX = query.shape
     TMAX = target.shape[1]
     p = params

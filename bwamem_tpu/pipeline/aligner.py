@@ -193,8 +193,8 @@ def run_extension_jobs(fm_params: ExtendParams, mat: np.ndarray,
         TMAX = bucket_len(max(len(j.target) for j in sub))
         N = bucket_count(len(sub))
         N = -(-N // n_dev) * n_dev
-        Q = np.full((N, QMAX), 4, np.int32)
-        T = np.full((N, TMAX), 4, np.int32)
+        Q = np.full((N, QMAX), 4, np.int8)
+        T = np.full((N, TMAX), 4, np.int8)
         ql = np.zeros(N, np.int32)
         tl = np.zeros(N, np.int32)
         h0 = np.ones(N, np.int32)  # padding lanes: h0>0, tlen=0 -> inert
@@ -349,7 +349,9 @@ class MemAligner:
         [(qbeg, qend, rbeg, n_occ)] in (qend, SA-rank) order."""
         B = bucket_count(len(seqs))
         L = bucket_len(max(len(s) for s in seqs))
-        reads = np.full((B, L), 4, np.int32)
+        # int8 staging: sequence codes cast to int32 in-graph on device,
+        # so host->device traffic shrinks 4x (stall exposure likewise)
+        reads = np.full((B, L), 4, np.int8)
         lens = np.zeros(B, np.int32)
         for i, s in enumerate(seqs):
             reads[i, : len(s)] = s
@@ -546,9 +548,9 @@ class MemAligner:
                                     J["tlen"], sel, TMAX)
             if N != len(sel):
                 Q = np.vstack(
-                    [Q, np.full((N - len(sel), QMAX), 4, np.int32)])
+                    [Q, np.full((N - len(sel), QMAX), 4, np.int8)])
                 T = np.vstack(
-                    [T, np.full((N - len(sel), TMAX), 4, np.int32)])
+                    [T, np.full((N - len(sel), TMAX), 4, np.int8)])
             ql = np.zeros(N, np.int32)
             tl = np.zeros(N, np.int32)
             h0 = np.ones(N, np.int32)

@@ -19,6 +19,7 @@
 // pads them into bucketed device batches without touching per-job data.
 
 #include <algorithm>
+#include <cstring>
 #include <cstdint>
 #include <vector>
 
@@ -336,15 +337,14 @@ extern "C" int64_t bm_chain2aln_batch(
 // Scatter var-length job sequences into a padded (N, MAX) int32 batch.
 extern "C" void bm_scatter_jobs(const uint8_t* stream, const int64_t* offs,
                                 const int32_t* lens, const int64_t* sel,
-                                int64_t n_sel, int32_t* out, int64_t max_len,
-                                int32_t fill) {
+                                int64_t n_sel, int8_t* out, int64_t max_len,
+                                int8_t fill) {
   for (int64_t i = 0; i < n_sel; ++i) {
     int64_t j = sel[i];
-    int32_t* row = out + i * max_len;
+    int8_t* row = out + i * max_len;
     int32_t ln = lens[j];
     const uint8_t* src = stream + offs[j];
-    int64_t t = 0;
-    for (; t < ln; ++t) row[t] = src[t];
-    for (; t < max_len; ++t) row[t] = fill;
+    memcpy(row, src, (size_t)ln);
+    memset(row + ln, fill, (size_t)(max_len - ln));
   }
 }
