@@ -295,6 +295,7 @@ def cmd_align(args) -> int:
         opt.T *= opt.a
     opt.T = args.min_score
     opt.verbose = args.verbosity
+    opt.n_threads = args.n_threads
     opt.copy_comment = args.copy_comment
     if args.ref_hdr:
         from .pipeline.options import MEM_F_REF_HDR
@@ -416,6 +417,10 @@ def cmd_align(args) -> int:
     print(f"[bwamem-tpu] done: {n} reads, {st['n_seeds']} seeds, "
           f"{st['n_extensions']} extensions", file=sys.stderr)
     timings.meta.update(st)
+    try:  # reference appends every run to time.log (src/main.c:73,123)
+        timings.append_log("time.log", cmdline)
+    except OSError:
+        pass
     if args.verbosity >= 3:
         print(timings.report(), file=sys.stderr)
     if args.timing_file:
