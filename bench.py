@@ -23,6 +23,56 @@ import numpy as np
 BASELINE_READS_PER_S = 50_000.0
 
 
+def main_e2e() -> None:
+    """--e2e: full-pipeline steady-state throughput (seeding + chaining +
+    extension + dedup + SAM) on one chip, reported the same way."""
+    import time
+
+    import numpy as np
+
+    from bwamem_tpu.index.build import build_index_from_codes
+    from bwamem_tpu.index.format import Annotation
+    from bwamem_tpu.pipeline.aligner import MemAligner
+    from bwamem_tpu.pipeline.options import MemOptions
+
+    rng = np.random.default_rng(12345)
+    genome_len = 4_600_000
+    read_len = 150
+    batch = 2048
+    g = rng.integers(0, 4, genome_len, dtype=np.uint8)
+    ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
+    idx = build_index_from_codes(g, ann, sa_intv=8)
+    al = MemAligner(MemOptions(), idx)
+
+    def mk(seed):
+        r2 = np.random.default_rng(seed)
+        names, seqs = [], []
+        for i in range(batch):
+            p = int(r2.integers(0, genome_len - read_len))
+            r = g[p : p + read_len].copy()
+            err = r2.random(read_len) < 0.01
+            r[err] = (r[err] + 1) % 4
+            if i % 2:
+                r = (3 - r)[::-1]
+            names.append(f"r{i}")
+            seqs.append(r)
+        return names, seqs
+
+    for s_ in (1, 2):  # warm compiles for the shape family
+        al.align_batch(*mk(s_))
+    t0 = time.perf_counter()
+    n_iter = 3
+    for s_ in range(3, 3 + n_iter):
+        al.align_batch(*mk(s_))
+    dt = (time.perf_counter() - t0) / n_iter
+    print(json.dumps({
+        "metric": "e2e_align_reads_per_s",
+        "value": round(batch / dt, 1),
+        "unit": "reads/s/chip",
+        "vs_baseline": round(batch / dt / BASELINE_READS_PER_S, 3),
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -82,4 +132,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--e2e" in sys.argv:
+        main_e2e()
+    else:
+        main()
