@@ -344,9 +344,10 @@ class MemAligner:
             end_bonus=opt.pen_clip5, opt_ext=opt.opt_ext, max_mat=opt.a,
             mismatch=opt.b)
 
-    def seed_batch(self, seqs: list[np.ndarray]) -> list[list[tuple]]:
-        """Device seeding; returns per-read seed lists
-        [(qbeg, qend, rbeg, n_occ)] in (qend, SA-rank) order."""
+    def seed_batch_arrays(self, seqs: list[np.ndarray]) -> dict:
+        """Device seeding; returns compacted flat seed arrays
+        (qbeg/qend/rbeg/n_occ) + per-read bounds, in (read, qend, SA-rank)
+        order."""
         B = bucket_count(len(seqs))
         L = bucket_len(max(len(s) for s in seqs))
         # int8 staging: sequence codes cast to int32 in-graph on device,
@@ -429,15 +430,25 @@ class MemAligner:
         self.stats["n_seeds"] += int(out["n_seeds"])
         v = out["valid"].astype(bool)
         rid = out["read_id"][v]
-        cols = np.stack([out["qbeg"][v], out["qend"][v],
-                         out["rbeg"][v], out["n_occ"][v]], axis=1)
         bounds = np.searchsorted(rid, np.arange(len(seqs) + 1))
+        return dict(qbeg=out["qbeg"][v], qend=out["qend"][v],
+                    rbeg=out["rbeg"][v], n_occ=out["n_occ"][v],
+                    bounds=bounds.astype(np.int64))
+
+    def seed_batch(self, seqs: list[np.ndarray]) -> list[list[tuple]]:
+        """Tuple-list view of seed_batch_arrays (compat for the
+        object-path consumers: Python chaining, fastmap, tests)."""
+        arr = self.seed_batch_arrays(seqs)
+        cols = np.stack([arr["qbeg"], arr["qend"], arr["rbeg"],
+                         arr["n_occ"]], axis=1)
+        b = arr["bounds"]
         return [
-            [tuple(int(x) for x in row) for row in cols[bounds[b]:bounds[b + 1]]]
-            for b in range(len(seqs))
+            [tuple(int(x) for x in row) for row in cols[b[i]:b[i + 1]]]
+            for i in range(len(seqs))
         ]
 
     def _collect_native(self, seqs, seeds):
+        # `seeds` is the flat-array dict from seed_batch_arrays
         """Fast path: chaining AND chain2aln job construction run in the
         native C++ core (flat arrays + sequence streams; no per-seed
         Python objects). Used when the per-seed SW/SHD filter is inactive
@@ -454,7 +465,7 @@ class MemAligner:
         if lib is None:
             return None
         lqs = [len(s) for s in seqs]
-        raw = chain_batch_raw(opt, idx, lqs, seeds)
+        raw = chain_batch_raw(opt, idx, lqs, None, seed_arrays=seeds)
         if raw is None:
             return None
         B = len(seqs)
@@ -588,10 +599,17 @@ class MemAligner:
         from .seedflt import SeedFilterBatch
 
         opt, idx = self.opt, self.idx
-        seeds = self.seed_batch(seqs)
-        fast = self._collect_native(seqs, seeds)
+        seed_arr = self.seed_batch_arrays(seqs)
+        fast = self._collect_native(seqs, seed_arr)
         if fast is not None:
             return fast
+        cols = np.stack([seed_arr["qbeg"], seed_arr["qend"],
+                         seed_arr["rbeg"], seed_arr["n_occ"]], axis=1)
+        bnd = seed_arr["bounds"]
+        seeds = [
+            [tuple(int(x) for x in row) for row in cols[bnd[i]:bnd[i + 1]]]
+            for i in range(len(seqs))
+        ]
 
         # phase 1: chains + chain filter for every read (native C++ core
         # when available, one GIL-free call for the whole batch); per-seed

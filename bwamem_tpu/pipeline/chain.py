@@ -83,10 +83,11 @@ def _test_and_merge(opt: MemOptions, l_pac: int, c: Chain, s: Seed,
 
 
 def chain_batch_raw(opt: MemOptions, idx: FMIndex, l_queries: list[int],
-                    per_read_seeds):
+                    per_read_seeds, seed_arrays: dict | None = None):
     """Native chaining returning the raw flat arrays (chain table +
     kept-seed arrays) for zero-object downstream consumption; None when
-    the native lib is unavailable."""
+    the native lib is unavailable. `seed_arrays` (from
+    seed_batch_arrays) avoids the tuple round-trip."""
     import numpy as np
 
     from ..native import loader
@@ -98,15 +99,23 @@ def chain_batch_raw(opt: MemOptions, idx: FMIndex, l_queries: list[int],
     import ctypes
 
     n_reads = len(l_queries)
-    flat = [t for sl in per_read_seeds for t in sl]
-    n = len(flat)
-    bounds = np.zeros(n_reads + 1, np.int64)
-    for b in range(n_reads):
-        bounds[b + 1] = bounds[b] + len(per_read_seeds[b])
-    qb = np.fromiter((t[0] for t in flat), np.int32, n)
-    qe = np.fromiter((t[1] for t in flat), np.int32, n)
-    rb = np.fromiter((t[2] for t in flat), np.int64, n)
-    oc = np.fromiter((t[3] for t in flat), np.int64, n)
+    if seed_arrays is not None:
+        qb = np.ascontiguousarray(seed_arrays["qbeg"], np.int32)
+        qe = np.ascontiguousarray(seed_arrays["qend"], np.int32)
+        rb = np.ascontiguousarray(seed_arrays["rbeg"], np.int64)
+        oc = np.ascontiguousarray(seed_arrays["n_occ"], np.int64)
+        bounds = np.ascontiguousarray(seed_arrays["bounds"], np.int64)
+        n = len(qb)
+    else:
+        flat = [t for sl in per_read_seeds for t in sl]
+        n = len(flat)
+        bounds = np.zeros(n_reads + 1, np.int64)
+        for b in range(n_reads):
+            bounds[b + 1] = bounds[b] + len(per_read_seeds[b])
+        qb = np.fromiter((t[0] for t in flat), np.int32, n)
+        qe = np.fromiter((t[1] for t in flat), np.int32, n)
+        rb = np.fromiter((t[2] for t in flat), np.int64, n)
+        oc = np.fromiter((t[3] for t in flat), np.int64, n)
     lq = np.asarray(l_queries, np.int32)
     ann_off = np.asarray(idx.ann.offsets, np.int64)
     ann_alt = np.asarray(
