@@ -479,59 +479,65 @@ class MemAligner:
         nR = out["n_regs"]
         R = out["regs"]
 
-        regs_objs: list[AlnReg] = []
-        for ri in range(nR):
-            a = AlnReg(w=opt.w, score=-1, truesc=-1,
-                       rid=int(R["rid"][ri]),
-                       frac_rep=float(R["frac"][ri]),
-                       is_alt=bool(R["is_alt"][ri]))
-            a.seedlen0 = int(R["seedlen0"][ri])
-            a.query_seed_begin = int(R["qseed"][ri])
-            a.target_seed_begin = int(R["rseed"][ri])
-            a.align_sides = int(R["sides"][ri])
-            if a.align_sides == 0:
-                a.score = a.truesc = int(R["score0"][ri])
-                a.qb, a.qe = int(R["qb0"][ri]), int(R["qe0"][ri])
-                a.rb, a.re = int(R["rb0"][ri]), int(R["re0"][ri])
-                a.seedcov = int(R["seedcov0"][ri])
-            regs_objs.append(a)
-
         self.stats["n_reads"] += B
         self.stats["n_extensions"] += out["n_jobs"]
-        self._run_jobs_arrays(out, regs_objs)
+        partL = np.zeros((nR, 3), np.int64)
+        partR = np.zeros((nR, 3), np.int64)
+        self._run_jobs_arrays(out, (partL, partR))
 
-        # L/R merge + seedcov from the kept-seed arrays
+        # vectorized L/R merge (reference rule: src/bwamem.c:2296-2311)
+        sides = R["sides"][:nR].astype(np.int64)
+        seedlen0 = R["seedlen0"][:nR].astype(np.int64)
+        qseed = R["qseed"][:nR].astype(np.int64)
+        rseed = R["rseed"][:nR]
+        ext = sides > 0
+        score = np.where(
+            ext, partL[:, 0] + partR[:, 0] - (sides == 2) * seedlen0,
+            R["score0"][:nR])
+        qb = np.where(ext, qseed - partL[:, 1], R["qb0"][:nR])
+        qe = np.where(ext, qseed + seedlen0 + partR[:, 1], R["qe0"][:nR])
+        rb = np.where(ext, rseed - partL[:, 2], R["rb0"][:nR])
+        re = np.where(ext, rseed + seedlen0 + partR[:, 2], R["re0"][:nR])
+
         sq = raw["s_qbeg"].astype(np.int64)
         sr = raw["s_rbeg"]
         sl = raw["s_len"].astype(np.int64)
-        for ri, a in enumerate(regs_objs):
-            if a.align_sides == 0:
-                continue
-            a.score = a.part[LEFT][0] + a.part[RIGHT][0]
-            if a.align_sides == 2:
-                a.score -= a.seedlen0
-            a.qb = a.query_seed_begin - a.part[LEFT][1]
-            a.qe = a.query_seed_begin + a.seedlen0 + a.part[RIGHT][1]
-            a.rb = a.target_seed_begin - a.part[LEFT][2]
-            a.re = a.target_seed_begin + a.seedlen0 + a.part[RIGHT][2]
-            a.truesc = a.score
-            off = int(R["chain_soff"][ri])
-            ns = int(R["chain_ns"][ri])
-            tq, tr, tl = sq[off:off + ns], sr[off:off + ns], sl[off:off + ns]
-            m = ((tq >= a.qb) & (tq + tl <= a.qe)
-                 & (tr >= a.rb) & (tr + tl <= a.re))
-            a.seedcov = int(tl[m].sum())
+        soffs = R["chain_soff"][:nR]
+        nss = R["chain_ns"][:nR]
+        rids = R["rid"][:nR]
+        alts = R["is_alt"][:nR]
+        fracs = R["frac"][:nR]
+        scov0 = R["seedcov0"][:nR]
+        reads_of = R["read"][:nR]
 
         per: list[list[AlnReg]] = [[] for _ in range(B)]
-        reads_of = R["read"]
-        for ri, a in enumerate(regs_objs):
+        for ri in range(nR):
+            a = AlnReg(w=opt.w, rid=int(rids[ri]),
+                       frac_rep=float(fracs[ri]), is_alt=bool(alts[ri]))
+            a.seedlen0 = int(seedlen0[ri])
+            a.query_seed_begin = int(qseed[ri])
+            a.target_seed_begin = int(rseed[ri])
+            a.align_sides = int(sides[ri])
+            a.score = a.truesc = int(score[ri])
+            a.qb, a.qe = int(qb[ri]), int(qe[ri])
+            a.rb, a.re = int(rb[ri]), int(re[ri])
+            if a.align_sides == 0:
+                a.seedcov = int(scov0[ri])
+            else:
+                off, ns = int(soffs[ri]), int(nss[ri])
+                tq, tr, tl = (sq[off:off + ns], sr[off:off + ns],
+                              sl[off:off + ns])
+                m = ((tq >= a.qb) & (tq + tl <= a.qe)
+                     & (tr >= a.rb) & (tr + tl <= a.re))
+                a.seedcov = int(tl[m].sum())
             per[int(reads_of[ri])].append(a)
         return [mem_sort_dedup_patch(opt, idx, seqs[b], per[b])
                 for b in range(B)]
 
-    def _run_jobs_arrays(self, out, regs_objs) -> None:
-        """Bucketed device extension over array-form jobs (the native fast
-        path\'s equivalent of run_extension_jobs)."""
+    def _run_jobs_arrays(self, out, parts) -> None:
+        """Bucketed device extension over array-form jobs; results land in
+        parts[(side)][reg, 0:3] = (score, qle, tle) (the native fast
+        path's equivalent of run_extension_jobs)."""
         from ..native import loader
 
         opt = self.opt
@@ -583,12 +589,14 @@ class MemAligner:
             sc, qe, te = end_choice(res["score"], res["qle"], res["tle"],
                                     res["gscore"], res["gtle"],
                                     jnp.asarray(ql), opt.pen_clip5)
-            sc, qe, te = np.asarray(jnp.stack([sc, qe, te]))
+            sc, qe, te = np.asarray(jnp.stack([sc, qe, te]))[:, : len(sel)]
             jreg = J["reg"][:nJ][sel]
             jside = J["side"][:nJ][sel]
-            for i in range(len(sel)):
-                regs_objs[int(jreg[i])].part[int(jside[i])] = [
-                    int(sc[i]), int(qe[i]), int(te[i])]
+            for side in (0, 1):
+                m = jside == side
+                parts[side][jreg[m], 0] = sc[m]
+                parts[side][jreg[m], 1] = qe[m]
+                parts[side][jreg[m], 2] = te[m]
 
     def collect_regs_batch(
             self, seqs: list[np.ndarray]) -> list[list[AlnReg]]:
