@@ -137,17 +137,31 @@ def try_load():
         return _lib
 
 
+_scratch = threading.local()
+
+
+def _cig_scratch(cap: int) -> np.ndarray:
+    """Reusable per-thread cigar output buffer (hot in per-record SAM gen;
+    the cigar is consumed into Python tuples before the next call)."""
+    buf = getattr(_scratch, "cig", None)
+    if buf is None or len(buf) < cap:
+        buf = np.empty(max(cap, 1024), dtype=np.uint32)
+        _scratch.cig = buf
+    return buf
+
+
 def ksw_global_native(lib, query, target, mat, o_del, e_del, o_ins, e_ins,
                       w, want_cigar=True):
     """Native banded global alignment; mirrors oracle.ksw.ksw_global's
     return contract: (score, [(op, len), ...])."""
     q = np.ascontiguousarray(query, dtype=np.uint8)
     t = np.ascontiguousarray(target, dtype=np.uint8)
-    m = np.ascontiguousarray(mat, dtype=np.int8)
+    m = mat if (mat.dtype == np.int8 and mat.flags.c_contiguous) \
+        else np.ascontiguousarray(mat, dtype=np.int8)
     score = ctypes.c_int32()
     n_cigar = ctypes.c_int32()
     cap = len(q) + len(t) + 2
-    cig = np.empty(cap, dtype=np.uint32)
+    cig = _cig_scratch(cap)
     rc = lib.bm_ksw_global(
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(q),
         t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(t),

@@ -93,7 +93,13 @@ class MemOptions:
 
     @property
     def mat(self) -> np.ndarray:
-        return make_score_matrix(self.a, self.b)
+        # cached; rebuilt only when (a, b) change (hot in per-record SAM gen)
+        key = (self.a, self.b)
+        cached = self.__dict__.get("_mat_cache")
+        if cached is None or cached[0] != key:
+            cached = (key, make_score_matrix(self.a, self.b))
+            self.__dict__["_mat_cache"] = cached
+        return cached[1]
 
     def scale_for_a(self) -> None:
         """-A rescaling of dependent penalties (reference: src/fastmap.c
