@@ -33,10 +33,11 @@ from .chain import Chain, mem_chain, mem_chain_flt
 from .options import (FILTER_COEF, MemOptions, MEM_F_ALL, MEM_F_NO_MULTI,
                       MEM_F_NO_RESCUE, cal_max_gap)
 from .regions import AlnReg, mem_mark_primary_se, mem_sort_dedup_patch
-from .samgen import MemAln, mem_aln2sam, mem_gen_alt, mem_reg2aln
+from .samgen import (MemAln, mem_aln2sam, mem_gen_alt, mem_reg2aln,
+                     mem_reg2sam)  # noqa: F401  (re-export; lives in samgen)
 
 LEFT, RIGHT = 0, 1
-INT_MAX = 1 << 30
+from .samgen import INT_MAX  # noqa: E402,F401
 
 
 @dataclass
@@ -243,43 +244,6 @@ def merge_extension_results(l_query: int, regs: list[AlnReg]) -> None:
                 t.len for t in seeds
                 if (t.qbeg >= a.qb and t.qbeg + t.len <= a.qe
                     and t.rbeg >= a.rb and t.rbeg + t.len <= a.re))
-
-
-def mem_reg2sam(opt: MemOptions, idx: FMIndex, name: str, seq: np.ndarray,
-                qual, regs: list[AlnReg], extra_flag: int = 0,
-                mate: MemAln | None = None, rg_id=None,
-                comment: str | None = None) -> list[str]:
-    """reference: src/bwamem.c:1721-1775."""
-    XA = None
-    if not (opt.flag & MEM_F_ALL):
-        XA = mem_gen_alt(opt, idx, regs, len(seq), seq)
-    alns: list[MemAln] = []
-    for k, p in enumerate(regs):
-        if p.score < opt.T:
-            continue
-        if p.secondary >= 0 and (p.is_alt or not (opt.flag & MEM_F_ALL)):
-            continue
-        if (0 <= p.secondary < INT_MAX
-                and p.score < regs[p.secondary].score * opt.drop_ratio):
-            continue
-        q = mem_reg2aln(opt, idx, len(seq), seq, p)
-        q.XA = XA[k] if XA else None
-        q.flag |= extra_flag
-        if p.secondary >= 0:
-            q.sub = -1
-        if alns and p.secondary < 0:
-            q.flag |= 0x10000 if (opt.flag & MEM_F_NO_MULTI) else 0x800
-        if alns and not p.is_alt and q.mapq > alns[0].mapq:
-            q.mapq = alns[0].mapq
-        alns.append(q)
-    if not alns:
-        t = mem_reg2aln(opt, idx, len(seq), seq, None)
-        t.flag |= extra_flag
-        return [mem_aln2sam(opt, idx, name, seq, qual, 1, [t], 0, mate,
-                            rg_id=rg_id, comment=comment)]
-    return [mem_aln2sam(opt, idx, name, seq, qual, len(alns), alns, k, mate,
-                        rg_id=rg_id, comment=comment)
-            for k in range(len(alns))]
 
 
 def _dump_chains(idx, seeds, per_read_chains) -> None:

@@ -25,8 +25,9 @@ _STATE = None  # (opt, idx) in workers, set pre-fork
 
 def _emit_se(opt, idx, names, seqs, quals, regs_lists, n_processed,
              comments=None):
-    from .aligner import mem_reg2sam
+    # jax-free imports only: emit workers must never pull in jax/device code
     from .regions import mem_mark_primary_se
+    from .samgen import mem_reg2sam
 
     out = []
     for b in range(len(seqs)):
@@ -57,15 +58,17 @@ def _emit_pe(opt, idx, names, seqs, quals, pair_regs, pes, pair_id0,
 def _se_task(args):
     opt, idx = _STATE
     lo, names, seqs, quals, regs, n_processed, comments = args
-    return _emit_se(opt, idx, names, seqs, quals, regs, n_processed + lo,
-                    comments)
+    # one joined blob per slice: the main process unpickles 1 string per
+    # task instead of ~2 per read (GIL relief for the collector thread)
+    return "\n".join(_emit_se(opt, idx, names, seqs, quals, regs,
+                              n_processed + lo, comments))
 
 
 def _pe_task(args):
     opt, idx = _STATE
     lo_pair, names, seqs, quals, pair_regs, pes, n_pairs_done, comments = args
-    return _emit_pe(opt, idx, names, seqs, quals, pair_regs, pes,
-                    n_pairs_done + lo_pair, comments)
+    return "\n".join(_emit_pe(opt, idx, names, seqs, quals, pair_regs, pes,
+                              n_pairs_done + lo_pair, comments))
 
 
 class HostPool:
@@ -107,10 +110,7 @@ class HostPool:
                   per_read_regs[lo:hi], n_processed,
                   comments[lo:hi] if comments else None)
                  for lo, hi in self._slices(len(seqs))]
-        out: list[str] = []
-        for lines in self._pool.map(_se_task, tasks):
-            out.extend(lines)
-        return out
+        return [b for b in self._pool.map(_se_task, tasks) if b]
 
     def emit_pe(self, names, seqs, quals, pair_regs, pes,
                 n_processed: int, comments=None) -> list[str]:
@@ -122,7 +122,4 @@ class HostPool:
                   n_processed >> 1,
                   comments[lo * 2 : hi * 2] if comments else None)
                  for lo, hi in self._slices(len(pair_regs))]
-        out: list[str] = []
-        for lines in self._pool.map(_pe_task, tasks):
-            out.extend(lines)
-        return out
+        return [b for b in self._pool.map(_pe_task, tasks) if b]

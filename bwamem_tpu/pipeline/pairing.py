@@ -13,11 +13,9 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..index.format import FMIndex
-from ..ops.swalign import sw_align_batch
 from .options import MemOptions, MEM_F_ALL, MEM_F_NOPAIRING, hash_64
 from .regions import AlnReg, mem_approx_mapq_se, mem_mark_primary_se, \
     mem_sort_dedup_patch
@@ -244,6 +242,9 @@ def _run_sw_jobs(opt: MemOptions, jobs: list[_SWJob]) -> list[dict]:
         T[i, : len(j.ref)] = j.ref
         ql[i], tl[i] = len(j.seq), len(j.ref)
     minsc = np.full(N, opt.min_seed_len * opt.a, np.int32)
+    import jax.numpy as jnp  # lazy: emit workers must stay jax-free
+    from ..ops.swalign import sw_align_batch
+
     out = sw_align_batch(jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql),
                          jnp.asarray(tl), jnp.asarray(opt.mat),
                          jnp.asarray(minsc), opt.o_del, opt.e_del,
@@ -377,7 +378,7 @@ def mem_sam_pe_finalize(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
     """Pairing + SAM for one pair, after rescue (reference:
     src/bwamem_pair.c:257-397 mem_sam_pe, minus the rescue block which
     runs batched in mem_pe_rescue_batch)."""
-    from .aligner import mem_reg2sam
+    from .samgen import mem_reg2sam
 
     extra_flag = 1
     n_pri = [0, 0]

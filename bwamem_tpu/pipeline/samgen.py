@@ -15,7 +15,10 @@ import numpy as np
 from ..index.format import FMIndex
 from ..oracle.ksw import CIGAR_M, CIGAR_I, CIGAR_D, CIGAR_S
 from ..ops.globalalign import ksw_global
-from .options import MemOptions, MEM_F_SOFTCLIP
+from .options import (MemOptions, MEM_F_SOFTCLIP, MEM_F_ALL,
+                      MEM_F_NO_MULTI)
+
+INT_MAX = 1 << 30
 from .regions import AlnReg, mem_approx_mapq_se
 
 CIGAR_CHARS = "MIDSH"
@@ -358,3 +361,40 @@ def mem_aln2sam(opt: MemOptions, idx: FMIndex, name: str, seq: np.ndarray,
     if comment:
         tags.append(comment)
     return "\t".join(out + tags)
+
+
+def mem_reg2sam(opt: MemOptions, idx: FMIndex, name: str, seq: np.ndarray,
+                qual, regs: list[AlnReg], extra_flag: int = 0,
+                mate: MemAln | None = None, rg_id=None,
+                comment: str | None = None) -> list[str]:
+    """reference: src/bwamem.c:1721-1775."""
+    XA = None
+    if not (opt.flag & MEM_F_ALL):
+        XA = mem_gen_alt(opt, idx, regs, len(seq), seq)
+    alns: list[MemAln] = []
+    for k, p in enumerate(regs):
+        if p.score < opt.T:
+            continue
+        if p.secondary >= 0 and (p.is_alt or not (opt.flag & MEM_F_ALL)):
+            continue
+        if (0 <= p.secondary < INT_MAX
+                and p.score < regs[p.secondary].score * opt.drop_ratio):
+            continue
+        q = mem_reg2aln(opt, idx, len(seq), seq, p)
+        q.XA = XA[k] if XA else None
+        q.flag |= extra_flag
+        if p.secondary >= 0:
+            q.sub = -1
+        if alns and p.secondary < 0:
+            q.flag |= 0x10000 if (opt.flag & MEM_F_NO_MULTI) else 0x800
+        if alns and not p.is_alt and q.mapq > alns[0].mapq:
+            q.mapq = alns[0].mapq
+        alns.append(q)
+    if not alns:
+        t = mem_reg2aln(opt, idx, len(seq), seq, None)
+        t.flag |= extra_flag
+        return [mem_aln2sam(opt, idx, name, seq, qual, 1, [t], 0, mate,
+                            rg_id=rg_id, comment=comment)]
+    return [mem_aln2sam(opt, idx, name, seq, qual, len(alns), alns, k, mate,
+                        rg_id=rg_id, comment=comment)
+            for k in range(len(alns))]
