@@ -355,6 +355,7 @@ def cmd_align(args) -> int:
         for f in args.rg_line.replace("\\t", "\t").split("\t"):
             if f.startswith("ID:"):
                 rg_id = f[3:]
+    opt.rg_id = rg_id  # per-record RG:Z tag (reference: src/bwamem.c:1674)
 
     idx = FMIndex.load(args.index_prefix + ".bmt")
     # fork the host worker pool BEFORE any JAX/device initialization

@@ -628,16 +628,16 @@ class MemAligner:
                        n_processed: int = 0, comments=None) -> list[str]:
         """worker2 equivalent for SE (reference: src/bwamem.c:2451-2460):
         mark-primary + SAM per read, given collected regions."""
+        from .samgen import mem_reg2sam_batch
+
         opt, idx = self.opt, self.idx
-        out_lines: list[str] = []
-        for b, seq in enumerate(seqs):
-            regs, _ = mem_mark_primary_se(opt, per_read_regs[b],
-                                          n_processed + b)
-            cm = comments[b] if comments and opt.copy_comment else None
-            out_lines.extend(
-                mem_reg2sam(opt, idx, names[b], seq, quals[b], regs,
-                            comment=cm))
-        return out_lines
+        marked = [mem_mark_primary_se(opt, per_read_regs[b],
+                                      n_processed + b)[0]
+                  for b in range(len(seqs))]
+        cms = comments if (comments and opt.copy_comment) else None
+        return mem_reg2sam_batch(opt, idx, names, seqs, quals, marked,
+                                 comments=cms,
+                                 rg_id=getattr(opt, "rg_id", None))
 
     def align_batch(self, names: list[str], seqs: list[np.ndarray],
                     quals: list[str | None] | None = None,
@@ -706,7 +706,7 @@ class MemAligner:
                 [names[i << 1], names[i << 1 | 1]],
                 [seqs[i << 1], seqs[i << 1 | 1]],
                 [quals[i << 1], quals[i << 1 | 1]],
-                pair_regs[i])
+                pair_regs[i], rg_id=getattr(opt, "rg_id", None))
             out_lines.extend(l0)
             out_lines.extend(l1)
         return out_lines

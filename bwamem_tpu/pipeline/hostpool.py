@@ -27,15 +27,16 @@ def _emit_se(opt, idx, names, seqs, quals, regs_lists, n_processed,
              comments=None):
     # jax-free imports only: emit workers must never pull in jax/device code
     from .regions import mem_mark_primary_se
-    from .samgen import mem_reg2sam
+    from .samgen import mem_reg2sam_batch
 
-    out = []
+    marked = []
     for b in range(len(seqs)):
         regs, _ = mem_mark_primary_se(opt, regs_lists[b], n_processed + b)
-        cm = comments[b] if comments and opt.copy_comment else None
-        out.extend(mem_reg2sam(opt, idx, names[b], seqs[b], quals[b], regs,
-                               comment=cm))
-    return out
+        marked.append(regs)
+    cms = (comments if (comments and opt.copy_comment) else None)
+    return mem_reg2sam_batch(opt, idx, names, seqs, quals, marked,
+                             comments=cms,
+                             rg_id=getattr(opt, "rg_id", None))
 
 
 def _emit_pe(opt, idx, names, seqs, quals, pair_regs, pes, pair_id0,
@@ -49,7 +50,8 @@ def _emit_pe(opt, idx, names, seqs, quals, pair_regs, pes, pair_id0,
         l0, l1 = mem_sam_pe_finalize(
             opt, idx, pes, pair_id0 + i,
             names[i * 2 : i * 2 + 2], seqs[i * 2 : i * 2 + 2],
-            quals[i * 2 : i * 2 + 2], pair_regs[i], comments=cm)
+            quals[i * 2 : i * 2 + 2], pair_regs[i],
+            rg_id=getattr(opt, "rg_id", None), comments=cm)
         out.extend(l0)
         out.extend(l1)
     return out

@@ -77,6 +77,7 @@ class MemOptions:
     #                            src/bwamem.h:70; informational here — all
     #                            values use the batched device ksw path)
     copy_comment: bool = False  # -C: append FASTA/Q comment to SAM
+    rg_id: str | None = None    # ID: field of -R (RG:Z: per-record tag)
     verbose: int = 3           # -v: 1=err 2=warn 3=info 4+=debug dumps of
     #                            seeds/chains/regions (reference:
     #                            bwa_verbose, src/bwa.c:16 + the >=4 traces

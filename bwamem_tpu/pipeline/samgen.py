@@ -128,25 +128,34 @@ def gen_cigar(opt: MemOptions, idx: FMIndex, query: np.ndarray,
     return score, cigar, n_mm + n_gap, "".join(md_parts)
 
 
-def mem_reg2aln(opt: MemOptions, idx: FMIndex, l_query: int,
-                query: np.ndarray, ar: AlnReg | None) -> MemAln:
-    """reference: src/bwamem.c:2344-2438."""
+def _reg2aln_pre(opt: MemOptions, idx: FMIndex, l_query: int,
+                 ar: AlnReg | None):
+    """Unmapped corner + mapq/flag; returns (a, request | None) where
+    request = (qb, qe, rb, re, truesc, ar_w) for a solver
+    (reference: src/bwamem.c:2344-2384)."""
     a = MemAln()
     if ar is None or ar.rb < 0 or ar.re < 0:
         a.rid = -1
         a.pos = -1
         a.flag |= 0x4
-        return a
-    qb, qe, rb, re = ar.qb, ar.qe, ar.rb, ar.re
+        return a, None
     a.mapq = mem_approx_mapq_se(opt, ar) if ar.secondary < 0 else 0
     if ar.secondary >= 0:
         a.flag |= 0x100
+    return a, (ar.qb, ar.qe, ar.rb, ar.re, ar.truesc, ar.w)
+
+
+def _reg2aln_solve_scalar(opt: MemOptions, idx: FMIndex, query: np.ndarray,
+                          req) -> tuple[list, int, str]:
+    """Band-growth retry loop around gen_cigar (the Python twin of
+    native/reg2aln.cpp; reference: src/bwamem.c:2386-2398)."""
+    qb, qe, rb, re, truesc, arw = req
     w2 = max(
-        infer_bw(qe - qb, re - rb, ar.truesc, opt.a, opt.o_del, opt.e_del),
-        infer_bw(qe - qb, re - rb, ar.truesc, opt.a, opt.o_ins, opt.e_ins),
+        infer_bw(qe - qb, re - rb, truesc, opt.a, opt.o_del, opt.e_del),
+        infer_bw(qe - qb, re - rb, truesc, opt.a, opt.o_ins, opt.e_ins),
     )
     if w2 > opt.w:
-        w2 = min(w2, ar.w)
+        w2 = min(w2, arw)
     last_sc = -(1 << 30)
     i = 0
     while True:
@@ -157,8 +166,16 @@ def mem_reg2aln(opt: MemOptions, idx: FMIndex, l_query: int,
         last_sc = score
         w2 <<= 1
         i += 1
-        if not (i < 3 and score < ar.truesc - opt.a):
+        if not (i < 3 and score < truesc - opt.a):
             break
+    return cigar, NM, md
+
+
+def _reg2aln_post(opt: MemOptions, idx: FMIndex, a: MemAln, ar: AlnReg,
+                  l_query: int, cigar: list, NM: int, md: str) -> MemAln:
+    """Coordinates, D-squeeze, soft clips, final fields
+    (reference: src/bwamem.c:2400-2438)."""
+    qb, qe, rb, re = ar.qb, ar.qe, ar.rb, ar.re
     a.NM = NM
     a.md = md
     lp = idx.l_pac
@@ -188,6 +205,66 @@ def mem_reg2aln(opt: MemOptions, idx: FMIndex, l_query: int,
     a.is_alt = ar.is_alt
     a.alt_sc = ar.alt_sc
     return a
+
+
+def mem_reg2aln(opt: MemOptions, idx: FMIndex, l_query: int,
+                query: np.ndarray, ar: AlnReg | None) -> MemAln:
+    """reference: src/bwamem.c:2344-2438."""
+    a, req = _reg2aln_pre(opt, idx, l_query, ar)
+    if req is None:
+        return a
+    cigar, NM, md = _reg2aln_solve_scalar(opt, idx, query, req)
+    return _reg2aln_post(opt, idx, a, ar, l_query, cigar, NM, md)
+
+
+def reg2aln_batch(opt: MemOptions, idx: FMIndex, items) -> list:
+    """Batched mem_reg2aln over items = [(l_query, query, ar | None)].
+    Semantics identical to [mem_reg2aln(opt, idx, *it) for it in items];
+    the numeric core (band loop + DP + NM/MD) runs in one native call
+    when the C++ library is available."""
+    from ..native.loader import reg2aln_native, try_load
+
+    pres = [_reg2aln_pre(opt, idx, lq, ar) for (lq, _q, ar) in items]
+    req_ids = [i for i, (_a, req) in enumerate(pres) if req is not None]
+    lib = try_load()
+    out: list = [None] * len(items)
+    if lib is None or not req_ids:
+        for i, ((lq, q, ar), (a, req)) in enumerate(zip(items, pres)):
+            if req is None:
+                out[i] = a
+                continue
+            cigar, NM, md = _reg2aln_solve_scalar(opt, idx, q, req)
+            out[i] = _reg2aln_post(opt, idx, a, ar, lq, cigar, NM, md)
+        return out
+    qs, qoff, qlen, rbs, res, ts, ws = [], [], [], [], [], [], []
+    off = 0
+    for i in req_ids:
+        _lq, q, _ar = items[i]
+        qb, qe, rb, re, tsc, arw = pres[i][1]
+        sl = np.ascontiguousarray(q[qb:qe], dtype=np.uint8)
+        qs.append(sl)
+        qoff.append(off)
+        qlen.append(qe - qb)
+        off += qe - qb
+        rbs.append(rb)
+        res.append(re)
+        ts.append(tsc)
+        ws.append(arw)
+    qstream = np.concatenate(qs) if qs else np.zeros(0, np.uint8)
+    cp, coff, cn, nm, mdraw, moff, mlen = reg2aln_native(
+        lib, opt, idx, qstream, qoff, qlen, rbs, res, ts, ws)
+    for j, i in enumerate(req_ids):
+        lq, _q, ar = items[i]
+        a = pres[i][0]
+        o, k = int(coff[j]), int(cn[j])
+        cigar = [(int(c & 0xF), int(c >> 4)) for c in cp[o:o + k]]
+        mo, ml = int(moff[j]), int(mlen[j])
+        md = mdraw[mo:mo + ml].decode()
+        out[i] = _reg2aln_post(opt, idx, a, ar, lq, cigar, int(nm[j]), md)
+    for i, (a, req) in enumerate(pres):
+        if req is None:
+            out[i] = a
+    return out
 
 
 def _get_pri_idx(xa_drop: float, regs: list[AlnReg], i: int) -> int:
@@ -398,3 +475,101 @@ def mem_reg2sam(opt: MemOptions, idx: FMIndex, name: str, seq: np.ndarray,
     return [mem_aln2sam(opt, idx, name, seq, qual, len(alns), alns, k, mate,
                         rg_id=rg_id, comment=comment)
             for k in range(len(alns))]
+
+
+def mem_reg2sam_batch(opt: MemOptions, idx: FMIndex, names, seqs, quals,
+                      regs_lists, comments=None, rg_id=None) -> list[str]:
+    """Batched SE twin of per-read mem_reg2sam: identical selection and
+    output, with every mem_reg2aln numeric core (main alignments + XA
+    entries + unmapped placeholders) solved in one native batch call
+    (reference: src/bwamem.c:1721-1775 + src/bwamem_extra.c mem_gen_alt).
+    Expects regs_lists already mark-primary'd; comments pre-filtered for
+    opt.copy_comment."""
+    B = len(seqs)
+    items: list = []   # reg2aln requests across the whole slice
+    plan = []          # per read: (sel, xa_req, unmapped_slot)
+    gen_xa = not (opt.flag & MEM_F_ALL)
+    for b in range(B):
+        regs = regs_lists[b]
+        seq = seqs[b]
+        lq = len(seq)
+        xa_req: list = []  # (i, r, slot) in i order (mem_gen_alt order)
+        if gen_xa:
+            n = len(regs)
+            cnt = [0] * n
+            has_alt = [False] * n
+            tot = 0
+            for i in range(n):
+                r = _get_pri_idx(opt.XA_drop_ratio, regs, i)
+                if r >= 0:
+                    cnt[r] += 1
+                    tot += 1
+                    if regs[i].is_alt:
+                        has_alt[r] = True
+            if tot:
+                for i in range(n):
+                    r = _get_pri_idx(opt.XA_drop_ratio, regs, i)
+                    if r < 0:
+                        continue
+                    if cnt[r] > opt.max_XA_hits_alt or                             (not has_alt[r] and cnt[r] > opt.max_XA_hits):
+                        continue
+                    xa_req.append((i, r, len(items)))
+                    items.append((lq, seq, regs[i]))
+        sel: list = []  # (k, slot) — the kept alignments, in reg order
+        for k, p in enumerate(regs):
+            if p.score < opt.T:
+                continue
+            if p.secondary >= 0 and (p.is_alt or not (opt.flag & MEM_F_ALL)):
+                continue
+            if (0 <= p.secondary < INT_MAX
+                    and p.score < regs[p.secondary].score * opt.drop_ratio):
+                continue
+            sel.append((k, len(items)))
+            items.append((lq, seq, p))
+        unmapped_slot = None
+        if not sel:
+            unmapped_slot = len(items)
+            items.append((lq, seq, None))
+        plan.append((sel, xa_req, unmapped_slot))
+
+    solved = reg2aln_batch(opt, idx, items)
+
+    lines: list[str] = []
+    for b in range(B):
+        regs = regs_lists[b]
+        seq = seqs[b]
+        qual = quals[b]
+        sel, xa_req, unmapped_slot = plan[b]
+        cm = comments[b] if comments else None
+        XA = None
+        if gen_xa and regs:
+            parts: list[list[str]] = [[] for _ in range(len(regs))]
+            for (i, r, slot) in xa_req:
+                t = solved[slot]
+                cig = "".join(f"{ln}{CIGAR_CHARS[op]}" for op, ln in t.cigar)
+                parts[r].append(
+                    f"{idx.ann.names[t.rid]},{'+-'[t.is_rev]}{t.pos + 1},"
+                    f"{cig},{t.NM};")
+            XA = ["".join(pt) if pt else None for pt in parts]
+        alns: list[MemAln] = []
+        for (k, slot) in sel:
+            p = regs[k]
+            q = solved[slot]
+            q.XA = XA[k] if XA else None
+            if p.secondary >= 0:
+                q.sub = -1
+            if alns and p.secondary < 0:
+                q.flag |= 0x10000 if (opt.flag & MEM_F_NO_MULTI) else 0x800
+            if alns and not p.is_alt and q.mapq > alns[0].mapq:
+                q.mapq = alns[0].mapq
+            alns.append(q)
+        if not alns:
+            t = solved[unmapped_slot]
+            lines.append(mem_aln2sam(opt, idx, names[b], seq, qual, 1, [t],
+                                     0, None, rg_id=rg_id, comment=cm))
+        else:
+            lines.extend(
+                mem_aln2sam(opt, idx, names[b], seq, qual, len(alns), alns,
+                            kk, None, rg_id=rg_id, comment=cm)
+                for kk in range(len(alns)))
+    return lines
