@@ -38,7 +38,7 @@ def main_e2e() -> None:
     rng = np.random.default_rng(12345)
     genome_len = 4_600_000
     read_len = 150
-    batch = 2048
+    batch = 8192
     g = rng.integers(0, 4, genome_len, dtype=np.uint8)
     ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
     idx = build_index_from_codes(g, ann, sa_intv=8)
