@@ -94,23 +94,26 @@ def run_pipeline(records: Iterator[SeqRecord], aligner, chunk_bases: int,
     wt.start()
 
     n_processed = 0
-    collector = ThreadPoolExecutor(1, thread_name_prefix="collect")
+    # two collector threads: chunk i+1's device stages overlap chunk i's
+    # host stages (device waits drop the GIL); at most 2 chunks in flight
+    collector = ThreadPoolExecutor(2, thread_name_prefix="collect")
     try:
-        pending = None  # (future, n_reads_at_start)
+        from collections import deque
+
+        pending: deque = deque()  # (future, n_reads_at_start)
         while True:
             batch = in_q.get()
             if batch is _STOP:
                 break
-            fut = collector.submit(collect, batch)
-            if pending is not None:
-                prev_fut, prev_n = pending
+            pending.append((collector.submit(collect, batch), n_processed))
+            n_processed += len(batch)
+            while len(pending) > 2 or (pending and pending[0][0].done()):
+                prev_fut, prev_n = pending.popleft()
                 out_q.put(finalize(prev_fut.result(), prev_n))
                 print(f"[bwamem-tpu] processed {n_processed} reads...",
                       file=sys.stderr)
-            pending = (fut, n_processed)
-            n_processed += len(batch)
-        if pending is not None:
-            prev_fut, prev_n = pending
+        while pending:
+            prev_fut, prev_n = pending.popleft()
             out_q.put(finalize(prev_fut.result(), prev_n))
     finally:
         collector.shutdown(wait=False)
