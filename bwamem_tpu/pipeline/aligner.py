@@ -466,12 +466,25 @@ class MemAligner:
         sq = raw["s_qbeg"].astype(np.int64)
         sr = raw["s_rbeg"]
         sl = raw["s_len"].astype(np.int64)
-        soffs = R["chain_soff"][:nR]
-        nss = R["chain_ns"][:nR]
+        soffs = R["chain_soff"][:nR].astype(np.int64)
+        nss = R["chain_ns"][:nR].astype(np.int64)
+        # vectorized seedcov: one (reg, seed) pair table + masked bincount
+        total = int(nss.sum())
+        pair_reg = np.repeat(np.arange(nR), nss)
+        cum = np.zeros(nR, np.int64)
+        np.cumsum(nss[:-1], out=cum[1:])
+        pair_seed = np.repeat(soffs - cum, nss) + np.arange(total)
+        tq = sq[pair_seed]
+        tr = sr[pair_seed]
+        tl = sl[pair_seed]
+        pm = ((tq >= qb[pair_reg]) & (tq + tl <= qe[pair_reg])
+              & (tr >= rb[pair_reg]) & (tr + tl <= re[pair_reg]))
+        scov = np.bincount(pair_reg[pm], weights=tl[pm],
+                           minlength=nR).astype(np.int64)
+        scov = np.where(ext, scov, R["seedcov0"][:nR])
         rids = R["rid"][:nR]
         alts = R["is_alt"][:nR]
         fracs = R["frac"][:nR]
-        scov0 = R["seedcov0"][:nR]
         reads_of = R["read"][:nR]
 
         per: list[list[AlnReg]] = [[] for _ in range(B)]
@@ -485,15 +498,7 @@ class MemAligner:
             a.score = a.truesc = int(score[ri])
             a.qb, a.qe = int(qb[ri]), int(qe[ri])
             a.rb, a.re = int(rb[ri]), int(re[ri])
-            if a.align_sides == 0:
-                a.seedcov = int(scov0[ri])
-            else:
-                off, ns = int(soffs[ri]), int(nss[ri])
-                tq, tr, tl = (sq[off:off + ns], sr[off:off + ns],
-                              sl[off:off + ns])
-                m = ((tq >= a.qb) & (tq + tl <= a.qe)
-                     & (tr >= a.rb) & (tr + tl <= a.re))
-                a.seedcov = int(tl[m].sum())
+            a.seedcov = int(scov[ri])
             per[int(reads_of[ri])].append(a)
         return [mem_sort_dedup_patch(opt, idx, seqs[b], per[b])
                 for b in range(B)]

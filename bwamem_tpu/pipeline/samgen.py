@@ -209,7 +209,13 @@ def _reg2aln_post(opt: MemOptions, idx: FMIndex, a: MemAln, ar: AlnReg,
 
 def mem_reg2aln(opt: MemOptions, idx: FMIndex, l_query: int,
                 query: np.ndarray, ar: AlnReg | None) -> MemAln:
-    """reference: src/bwamem.c:2344-2438."""
+    """reference: src/bwamem.c:2344-2438 (native-core when available)."""
+    return reg2aln_batch(opt, idx, [(l_query, query, ar)])[0]
+
+
+def mem_reg2aln_scalar(opt: MemOptions, idx: FMIndex, l_query: int,
+                       query: np.ndarray, ar: AlnReg | None) -> MemAln:
+    """Pure-Python twin (test oracle for the native core)."""
     a, req = _reg2aln_pre(opt, idx, l_query, ar)
     if req is None:
         return a
@@ -293,6 +299,7 @@ def mem_gen_alt(opt: MemOptions, idx: FMIndex, regs: list[AlnReg],
     if tot == 0:
         return XA
     parts: list[list[str]] = [[] for _ in range(n)]
+    picked = []
     for i in range(n):
         r = _get_pri_idx(opt.XA_drop_ratio, regs, i)
         if r < 0:
@@ -300,7 +307,10 @@ def mem_gen_alt(opt: MemOptions, idx: FMIndex, regs: list[AlnReg],
         if cnt[r] > opt.max_XA_hits_alt or \
                 (not has_alt[r] and cnt[r] > opt.max_XA_hits):
             continue
-        t = mem_reg2aln(opt, idx, l_query, query, regs[i])
+        picked.append((i, r))
+    solved = reg2aln_batch(opt, idx,
+                           [(l_query, query, regs[i]) for (i, _r) in picked])
+    for (i, r), t in zip(picked, solved):
         cig = "".join(f"{ln}{CIGAR_CHARS[op]}" for op, ln in t.cigar)
         parts[r].append(
             f"{idx.ann.names[t.rid]},{'+-'[t.is_rev]}{t.pos + 1},{cig},{t.NM};"

@@ -65,7 +65,8 @@ def test_reg2aln_batch_matches_scalar(small_idx):
                     w=opt.w, secondary=-1)
         items.append((L2, q, ar))
     items.append((100, np.zeros(100, np.uint8), None))  # unmapped corner
-    exp = [samgen.mem_reg2aln(opt, idx, lq, q, ar) for (lq, q, ar) in items]
+    exp = [samgen.mem_reg2aln_scalar(opt, idx, lq, q, ar)
+           for (lq, q, ar) in items]
     got = samgen.reg2aln_batch(opt, idx, items)
     for e, o in zip(exp, got):
         assert (e.cigar, e.NM, e.md, e.pos, e.rid, e.is_rev, e.flag) == \
