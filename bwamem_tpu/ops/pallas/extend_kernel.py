@@ -172,8 +172,22 @@ def _make_kernel(QP, TMAX, a, b, o_del, e_del, o_ins, e_ins, w, zdrop,
             jnp.full((TILE, 1), -1, jnp.int32), z, z,
             (tlen <= 0).astype(jnp.int32),
         )
-        (_, _, best, qle, tle, gscore, gtle, moff, _) = jax.lax.fori_loop(
-            0, TMAX, row, init)
+        # dynamic trip count: this tile only runs to its own longest target
+        # (callers sort jobs by tlen so tiles are length-coherent), and
+        # stops as soon as every lane is dead — exact, because row(i) is a
+        # no-op for dead/finished lanes
+        tl_max = jnp.minimum(jnp.max(meta_ref[:, 1]), TMAX)
+
+        def _cond(c):
+            i, st = c
+            return jnp.logical_and(i < tl_max, jnp.min(st[8]) < 1)
+
+        def _body(c):
+            i, st = c
+            return i + 1, row(i, st)
+
+        _, (_, _, best, qle, tle, gscore, gtle, moff, _) = \
+            jax.lax.while_loop(_cond, _body, (jnp.int32(0), init))
         out = jnp.concatenate(
             [best, qle, tle, gscore, gtle, moff, z, z], axis=1)
         out_ref[:] = out
@@ -224,6 +238,15 @@ def extend_batch_pallas(query, target, qlen, tlen, h0, params, *,
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     N, QMAX = query.shape
+    # sort jobs by target length so each kernel tile sees similar tlen and
+    # the per-tile dynamic trip count pays off; unsorted on the way out
+    order = jnp.argsort(tlen.astype(jnp.int32))
+    inv = jnp.argsort(order)
+    query = query[order]
+    target = target[order]
+    qlen = qlen[order]
+    tlen = tlen[order]
+    h0 = h0[order]
     QP = -(-(QMAX + 1) // 128) * 128
     TMAX = -(-target.shape[1] // 128) * 128
     Np = -(-N // tile) * tile
@@ -238,7 +261,7 @@ def extend_batch_pallas(query, target, qlen, tlen, h0, params, *,
     p = params
     pt = (p.max_mat, _mismatch_from(p), p.o_del, p.e_del, p.o_ins, p.e_ins,
           p.w, p.zdrop, p.end_bonus, p.opt_ext)
-    out = _extend_pallas_impl(qs, ts, meta, pt, tile, interpret)[:N]
+    out = _extend_pallas_impl(qs, ts, meta, pt, tile, interpret)[:N][inv]
     return dict(score=out[:, 0], qle=out[:, 1], tle=out[:, 2],
                 gscore=out[:, 3], gtle=out[:, 4], max_off=out[:, 5])
 
