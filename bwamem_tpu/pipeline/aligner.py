@@ -239,7 +239,7 @@ def merge_extension_results(l_query: int, regs: list[AlnReg]) -> None:
             a.rb = a.target_seed_begin - a.part[LEFT][2]
             a.re = a.target_seed_begin + a.seedlen0 + a.part[RIGHT][2]
             a.truesc = a.score
-            seeds = getattr(a, "_chain_seeds", [])
+            seeds = a._chain_seeds
             a.seedcov = sum(
                 t.len for t in seeds
                 if (t.qbeg >= a.qb and t.qbeg + t.len <= a.qe

@@ -18,7 +18,7 @@ from .options import (MemOptions, MEM_MAPQ_COEF, PATCH_MAX_R_BW,
                       PATCH_MIN_SC_RATIO, hash_64)
 
 
-@dataclass
+@dataclass(slots=True)
 class AlnReg:
     rb: int = 0
     re: int = 0
@@ -51,6 +51,7 @@ class AlnReg:
     query_seed_begin: int = 0
     target_seed_begin: int = 0
     part: list = field(default_factory=lambda: [[0, 0, 0], [0, 0, 0]])
+    _chain_seeds: list = field(default_factory=list)
     # part[side] = [score, query_end, ref_end]
 
 
