@@ -227,7 +227,8 @@ def _extend_pallas_impl(query, target, meta, params_tuple, tile, interpret):
 
 
 def extend_batch_pallas(query, target, qlen, tlen, h0, params, *,
-                        tile: int = 256, interpret: bool | None = None):
+                        tile: int | None = None,
+                        interpret: bool | None = None):
     """Same contract as ops.extend.extend_batch but on the Pallas kernel.
 
     query: (N, QMAX) codes; the kernel wants the query shifted to columns
@@ -238,6 +239,15 @@ def extend_batch_pallas(query, target, qlen, tlen, h0, params, *,
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     N, QMAX = query.shape
+    if tile is None:
+        # fit the tile's DP state in scoped VMEM (~16 MB): ~10 live
+        # (TILE, QP) int32 buffers + 2 (TILE, TMAX) buffers
+        QP_ = -(-(QMAX + 1) // 128) * 128
+        TM_ = -(-target.shape[1] // 128) * 128
+        row_bytes = 4 * (10 * QP_ + 2 * TM_)
+        tile = 256
+        while tile > 8 and tile * row_bytes > 12 * 1024 * 1024:
+            tile //= 2
     # sort jobs by target length so each kernel tile sees similar tlen and
     # the per-tile dynamic trip count pays off; unsorted on the way out
     order = jnp.argsort(tlen.astype(jnp.int32))

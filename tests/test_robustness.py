@@ -151,3 +151,39 @@ def test_alt_contig_handling(tmp_path):
     # the ALT hit is reported via XA on the primary record
     xa = [t for t in f[11:] if t.startswith("XA:Z:")]
     assert xa and "chr1_alt" in xa[0]
+
+
+def test_longread_1kb_extension_vmem(petest_idx=None):
+    """1 kb reads must not blow the pallas kernel's scoped-VMEM budget
+    (tile auto-sizing in ops/pallas/extend_kernel.py); pacbio-style
+    noise exercises dense-indel CIGARs through the object path."""
+    import numpy as np
+    from bwamem_tpu.index.build import build_index_from_codes
+    from bwamem_tpu.index.format import Annotation
+    from bwamem_tpu.pipeline.aligner import MemAligner
+    from bwamem_tpu.pipeline.options import MemOptions
+
+    rng = np.random.default_rng(17)
+    G = 150_000
+    g = rng.integers(0, 4, G, dtype=np.uint8)
+    idx = build_index_from_codes(
+        g, Annotation(names=["r"], lengths=[G], offsets=[0]), sa_intv=8)
+    al = MemAligner(MemOptions(), idx)
+    names, seqs = [], []
+    for i in range(4):
+        p = int(rng.integers(0, G - 1000))
+        r = g[p:p + 1000]
+        out = []
+        for b in r:
+            x = rng.random()
+            if x < 0.02:
+                continue
+            if x < 0.04:
+                out.append(int(rng.integers(0, 4)))
+            out.append(int(b) if x >= 0.05 else int((b + 1) % 4))
+        names.append(f"lr{i}")
+        seqs.append(np.array(out, np.uint8))
+    lines = al.align_batch(names, seqs)
+    assert len(lines) >= 4
+    mapped = [ln for ln in lines if int(ln.split("\t")[1]) & 0x4 == 0]
+    assert len(mapped) >= 4
