@@ -123,20 +123,19 @@ def try_load():
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
         ]
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        u32p = ctypes.POINTER(ctypes.c_uint32)
+        vp = ctypes.c_void_p
         lib.bm_reg2aln_batch.restype = ctypes.c_int
         lib.bm_reg2aln_batch.argtypes = [
-            u32p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int8),
+            vp, ctypes.c_int64, vp,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int64,
-            u8p, i64p, i32p,
-            i64p, i64p,
-            i32p, i32p,
-            i32p,
-            u32p, ctypes.c_int64, i64p, i32p,
-            ctypes.c_char_p, ctypes.c_int64, i64p, i32p,
+            vp, vp, vp,
+            vp, vp,
+            vp, vp,
+            vp,
+            vp, ctypes.c_int64, vp, vp,
+            vp, ctypes.c_int64, vp, vp,
         ]
         lib.bm_ksw_global.restype = ctypes.c_int
         lib.bm_ksw_global.argtypes = [
@@ -313,49 +312,50 @@ def reg2aln_native(lib, opt, idx, qstream, q_off, q_len, rb, re, truesc,
                    ar_w):
     """Batched mem_reg2aln numeric core (band retry loop + banded global DP
     + NM/MD). Mirrors samgen._reg2aln_solve_scalar / gen_cigar exactly
-    (reference: src/bwamem.c:2344-2438, src/bwa.c:111-217). Returns
+    (reference: src/bwamem.c:2344-2438, src/bwa.c:111-217). Inputs must
+    already be contiguous arrays of the right dtype (the samgen caller
+    builds them that way); kept lean because paired-end finalize calls
+    this with 1-2 records at a time. Returns
     (cig_pool, cig_off, cig_n, nm, md_pool_bytes, md_off, md_len)."""
     n = len(q_len)
-    qstream = np.ascontiguousarray(qstream, dtype=np.uint8)
-    q_off = np.ascontiguousarray(q_off, dtype=np.int64)
-    q_len = np.ascontiguousarray(q_len, dtype=np.int32)
-    rb = np.ascontiguousarray(rb, dtype=np.int64)
-    re = np.ascontiguousarray(re, dtype=np.int64)
-    truesc = np.ascontiguousarray(truesc, dtype=np.int32)
-    ar_w = np.ascontiguousarray(ar_w, dtype=np.int32)
-    mat = np.ascontiguousarray(opt.mat, dtype=np.int8)
+    key = (opt.a, opt.b, "i8")
+    cached = getattr(opt, "__dict__", None)
+    mat = None
+    if cached is not None:
+        hit = cached.get("_mat8_cache")
+        if hit is not None and hit[0] == key:
+            mat = hit[1]
+    if mat is None:
+        mat = np.ascontiguousarray(opt.mat, dtype=np.int8)
+        if cached is not None:
+            cached["_mat8_cache"] = (key, mat)
     pac = idx.pac_words
     nm = np.empty(n, np.int32)
     cig_off = np.empty(n, np.int64)
     cig_n = np.empty(n, np.int32)
     md_off = np.empty(n, np.int64)
     md_len = np.empty(n, np.int32)
-    cig_cap = max(int(q_len.sum()) // 8 + 64 * n + 64, 1024)
-    md_cap = max(int(q_len.sum()) // 2 + 16 * n + 64, 1024)
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    u32p = ctypes.POINTER(ctypes.c_uint32)
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    i64p = ctypes.POINTER(ctypes.c_int64)
+    total_q = int(q_len.sum())
+    cig_cap = max(total_q // 8 + 64 * n + 64, 1024)
+    md_cap = max(total_q // 2 + 16 * n + 64, 1024)
+    fn = lib.bm_reg2aln_batch
     while True:
         cig_pool = np.empty(cig_cap, np.uint32)
-        md_pool = ctypes.create_string_buffer(md_cap)
-        rc = lib.bm_reg2aln_batch(
-            pac.ctypes.data_as(u32p), int(idx.l_pac),
-            mat.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        md_pool = np.empty(md_cap, np.uint8)
+        rc = fn(
+            pac.ctypes.data, int(idx.l_pac), mat.ctypes.data,
             int(opt.o_del), int(opt.e_del), int(opt.o_ins), int(opt.e_ins),
             int(opt.a), int(opt.w), n,
-            qstream.ctypes.data_as(u8p),
-            q_off.ctypes.data_as(i64p), q_len.ctypes.data_as(i32p),
-            rb.ctypes.data_as(i64p), re.ctypes.data_as(i64p),
-            truesc.ctypes.data_as(i32p), ar_w.ctypes.data_as(i32p),
-            nm.ctypes.data_as(i32p),
-            cig_pool.ctypes.data_as(u32p), cig_cap,
-            cig_off.ctypes.data_as(i64p), cig_n.ctypes.data_as(i32p),
-            md_pool, md_cap,
-            md_off.ctypes.data_as(i64p), md_len.ctypes.data_as(i32p),
+            qstream.ctypes.data, q_off.ctypes.data, q_len.ctypes.data,
+            rb.ctypes.data, re.ctypes.data,
+            truesc.ctypes.data, ar_w.ctypes.data,
+            nm.ctypes.data,
+            cig_pool.ctypes.data, cig_cap, cig_off.ctypes.data,
+            cig_n.ctypes.data,
+            md_pool.ctypes.data, md_cap, md_off.ctypes.data,
+            md_len.ctypes.data,
         )
         if rc == 0:
-            return (cig_pool, cig_off, cig_n, nm, md_pool.raw, md_off,
-                    md_len)
+            return cig_pool, cig_off, cig_n, nm, md_pool, md_off, md_len
         cig_cap *= 2
         md_cap *= 2

@@ -698,20 +698,26 @@ class MemAligner:
         sizes inferred from this chunk unless `pes` is given (equivalent of
         mem_process_seqs's PE path, reference: src/bwamem.c:2504-2512 +
         src/bwamem_pair.c mem_sam_pe)."""
-        from .pairing import mem_sam_pe_finalize
+        from .pairing import Reg2AlnCtx, mem_sam_pe_plan, mem_sam_pe_render
 
         opt, idx = self.opt, self.idx
         quals = quals or [None] * len(seqs)
         pair_regs, pes = self.collect_pairs_batch(seqs, pes)
         out_lines: list[str] = []
+        ctx = Reg2AlnCtx(opt, idx)
+        plans = []
         for i in range(len(pair_regs)):
             id_ = (n_processed >> 1) + i
-            l0, l1 = mem_sam_pe_finalize(
+            plans.append(mem_sam_pe_plan(
                 opt, idx, pes, id_,
                 [names[i << 1], names[i << 1 | 1]],
                 [seqs[i << 1], seqs[i << 1 | 1]],
                 [quals[i << 1], quals[i << 1 | 1]],
-                pair_regs[i], rg_id=getattr(opt, "rg_id", None))
+                pair_regs[i], ctx))
+        ctx.solve()
+        rg = getattr(opt, "rg_id", None)
+        for plan in plans:
+            l0, l1 = mem_sam_pe_render(opt, idx, plan, ctx, rg_id=rg)
             out_lines.extend(l0)
             out_lines.extend(l1)
         return out_lines

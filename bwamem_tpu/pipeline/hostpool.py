@@ -41,17 +41,24 @@ def _emit_se(opt, idx, names, seqs, quals, regs_lists, n_processed,
 
 def _emit_pe(opt, idx, names, seqs, quals, pair_regs, pes, pair_id0,
              comments=None):
-    from .pairing import mem_sam_pe_finalize
+    from .pairing import Reg2AlnCtx, mem_sam_pe_plan, mem_sam_pe_render
 
-    out = []
+    # slice-level batching: plan all pairs, ONE native reg2aln solve,
+    # then render (the SE path does the same via mem_reg2sam_batch)
+    ctx = Reg2AlnCtx(opt, idx)
+    plans = []
     for i in range(len(pair_regs)):
         cm = (comments[i * 2 : i * 2 + 2]
               if comments and opt.copy_comment else None)
-        l0, l1 = mem_sam_pe_finalize(
+        plans.append(mem_sam_pe_plan(
             opt, idx, pes, pair_id0 + i,
             names[i * 2 : i * 2 + 2], seqs[i * 2 : i * 2 + 2],
-            quals[i * 2 : i * 2 + 2], pair_regs[i],
-            rg_id=getattr(opt, "rg_id", None), comments=cm)
+            quals[i * 2 : i * 2 + 2], pair_regs[i], ctx, comments=cm))
+    ctx.solve()
+    rg = getattr(opt, "rg_id", None)
+    out = []
+    for plan in plans:
+        l0, l1 = mem_sam_pe_render(opt, idx, plan, ctx, rg_id=rg)
         out.extend(l0)
         out.extend(l1)
     return out

@@ -369,25 +369,49 @@ def raw_mapq(diff: int, a: int) -> int:
     return int(6.02 * diff / a + 0.499)
 
 
-def mem_sam_pe_finalize(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
-                        id_: int, names: list[str],
-                        seqs: list[np.ndarray], quals: list,
-                        a: list[list[AlnReg]],
-                        rg_id=None,
-                        comments=None) -> tuple[list[str], list[str]]:
-    """Pairing + SAM for one pair, after rescue (reference:
-    src/bwamem_pair.c:257-397 mem_sam_pe, minus the rescue block which
-    runs batched in mem_pe_rescue_batch)."""
-    from .samgen import mem_reg2sam
+class Reg2AlnCtx:
+    """Deferred-solve context for mem_reg2aln requests: plan phases
+    register (l_query, query, ar) items, solve() runs ONE native batch
+    (samgen.reg2aln_batch), render phases read results by handle."""
 
-    extra_flag = 1
+    def __init__(self, opt: MemOptions, idx: FMIndex):
+        self.opt = opt
+        self.idx = idx
+        self.items: list = []
+        self.out: list | None = None
+
+    def add(self, l_query: int, query, ar) -> int:
+        self.items.append((l_query, query, ar))
+        return len(self.items) - 1
+
+    def solve(self) -> None:
+        from .samgen import reg2aln_batch
+
+        self.out = reg2aln_batch(self.opt, self.idx, self.items)
+
+    def get(self, h: int):
+        return self.out[h]
+
+
+def mem_sam_pe_plan(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
+                    id_: int, names: list[str], seqs: list[np.ndarray],
+                    quals: list, a: list[list[AlnReg]],
+                    ctx: Reg2AlnCtx, comments=None) -> dict:
+    """Phase A of mem_sam_pe (reference: src/bwamem_pair.c:257-397): all
+    pairing decisions and region mutations; every needed mem_reg2aln is
+    registered on ctx instead of being solved inline."""
+    from .samgen import _get_pri_idx
+
     n_pri = [0, 0]
     for i in (0, 1):
         a[i], n_pri[i] = mem_mark_primary_se(opt, a[i], (id_ << 1) | i)
+    plan = {"mode": "nopair", "a": a, "n_pri": n_pri, "names": names,
+            "seqs": seqs, "quals": quals, "comments": comments,
+            "pes": pes}
 
-    def no_pairing():
-        nonlocal extra_flag
-        h = [None, None]
+    def fail():
+        # defer the two single-end representative alignments
+        h_hdl = []
         for i in (0, 1):
             which = -1
             if a[i]:
@@ -396,34 +420,22 @@ def mem_sam_pe_finalize(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
                 elif n_pri[i] < len(a[i]) and a[i][n_pri[i]].score >= opt.T:
                     which = n_pri[i]
             reg = a[i][which] if which >= 0 else None
-            h[i] = mem_reg2aln(opt, idx, len(seqs[i]), seqs[i], reg)
-        if not (opt.flag & MEM_F_NOPAIRING) and h[0].rid == h[1].rid \
-                and h[0].rid >= 0:
-            d, dist = mem_infer_dir(idx.l_pac, a[0][0].rb, a[1][0].rb)
-            if not pes[d].failed and pes[d].low <= dist <= pes[d].high:
-                extra_flag |= 2
-        l0 = mem_reg2sam(opt, idx, names[0], seqs[0], quals[0], a[0],
-                         extra_flag=0x41 | extra_flag, mate=h[1],
-                         rg_id=rg_id,
-                         comment=comments[0] if comments else None)
-        l1 = mem_reg2sam(opt, idx, names[1], seqs[1], quals[1], a[1],
-                         extra_flag=0x81 | extra_flag, mate=h[0],
-                         rg_id=rg_id,
-                         comment=comments[1] if comments else None)
-        return l0, l1
+            h_hdl.append(ctx.add(len(seqs[i]), seqs[i], reg))
+        plan["h_hdl"] = h_hdl
+        return plan
 
     if opt.flag & MEM_F_NOPAIRING:
-        return no_pairing()
+        return fail()
     if not (n_pri[0] and n_pri[1]):
-        return no_pairing()
+        return fail()
     o, subo, n_sub, z = mem_pair(opt, idx, pes, a, id_, n_pri)
     if o <= 0:
-        return no_pairing()
-    # an end with multiple significant hits disables pairing
+        return fail()
     for i in (0, 1):
         if any(a[i][j].secondary < 0 and a[i][j].score >= opt.T
                for j in range(1, n_pri[i])):
-            return no_pairing()
+            return fail()
+    extra_flag = 1
     score_un = a[0][0].score + a[1][0].score - opt.pen_unpaired
     subo = max(subo, score_un)
     q_pe = raw_mapq(o - subo, opt.a)
@@ -457,25 +469,102 @@ def mem_sam_pe_finalize(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
                 if a[i][j].secondary_all == k or j == k:
                     a[i][j].secondary_all = z[i]
             a[i][z[i]].secondary_all = -1
+    # XA selection (mem_gen_alt structure; numerics deferred)
+    xa_picks = [None, None]
+    if not (opt.flag & MEM_F_ALL):
+        for i in (0, 1):
+            regs = a[i]
+            n = len(regs)
+            cnt = [0] * n
+            has_alt = [False] * n
+            tot = 0
+            for j in range(n):
+                r = _get_pri_idx(opt.XA_drop_ratio, regs, j)
+                if r >= 0:
+                    cnt[r] += 1
+                    tot += 1
+                    if regs[j].is_alt:
+                        has_alt[r] = True
+            picks = []
+            if tot:
+                for j in range(n):
+                    r = _get_pri_idx(opt.XA_drop_ratio, regs, j)
+                    if r < 0:
+                        continue
+                    if cnt[r] > opt.max_XA_hits_alt or \
+                            (not has_alt[r] and cnt[r] > opt.max_XA_hits):
+                        continue
+                    picks.append((j, r,
+                                  ctx.add(len(seqs[i]), seqs[i], regs[j])))
+            xa_picks[i] = picks
+    h_hdl = [ctx.add(len(seqs[i]), seqs[i], a[i][z[i]]) for i in (0, 1)]
+    supp_hdl = [None, None]
+    for i in (0, 1):
+        if n_pri[i] < len(a[i]):
+            pr = a[i][n_pri[i]]
+            if pr.score >= opt.T and pr.secondary < 0 and pr.is_alt:
+                supp_hdl[i] = ctx.add(len(seqs[i]), seqs[i], pr)
+    plan.update(mode="pair", z=z, q_se=q_se, extra_flag=extra_flag,
+                xa_picks=xa_picks, h_hdl=h_hdl, supp_hdl=supp_hdl)
+    return plan
+
+
+def mem_sam_pe_render(opt: MemOptions, idx: FMIndex, plan: dict,
+                      ctx: Reg2AlnCtx,
+                      rg_id=None) -> tuple[list[str], list[str]]:
+    """Phase C of mem_sam_pe: assemble SAM lines from solved alignments."""
+    from .samgen import CIGAR_CHARS, mem_aln2sam, mem_reg2sam
+
+    a = plan["a"]
+    names, seqs, quals = plan["names"], plan["seqs"], plan["quals"]
+    comments = plan["comments"]
+    n_pri = plan["n_pri"]
+    if plan["mode"] == "nopair":
+        pes = plan["pes"]
+        extra_flag = 1
+        h = [ctx.get(plan["h_hdl"][i]) for i in (0, 1)]
+        if not (opt.flag & MEM_F_NOPAIRING) and h[0].rid == h[1].rid \
+                and h[0].rid >= 0:
+            d, dist = mem_infer_dir(idx.l_pac, a[0][0].rb, a[1][0].rb)
+            if not pes[d].failed and pes[d].low <= dist <= pes[d].high:
+                extra_flag |= 2
+        l0 = mem_reg2sam(opt, idx, names[0], seqs[0], quals[0], a[0],
+                         extra_flag=0x41 | extra_flag, mate=h[1],
+                         rg_id=rg_id,
+                         comment=comments[0] if comments else None)
+        l1 = mem_reg2sam(opt, idx, names[1], seqs[1], quals[1], a[1],
+                         extra_flag=0x81 | extra_flag, mate=h[0],
+                         rg_id=rg_id,
+                         comment=comments[1] if comments else None)
+        return l0, l1
+
+    z, q_se = plan["z"], plan["q_se"]
+    extra_flag = plan["extra_flag"]
     XA = [None, None]
     if not (opt.flag & MEM_F_ALL):
         for i in (0, 1):
-            XA[i] = mem_gen_alt(opt, idx, a[i], len(seqs[i]), seqs[i])
+            parts = [[] for _ in range(len(a[i]))]
+            for (j, r, hdl) in plan["xa_picks"][i]:
+                t = ctx.get(hdl)
+                cig = "".join(f"{ln}{CIGAR_CHARS[op]}"
+                              for op, ln in t.cigar)
+                parts[r].append(
+                    f"{idx.ann.names[t.rid]},{'+-'[t.is_rev]}{t.pos + 1},"
+                    f"{cig},{t.NM};")
+            XA[i] = ["".join(pt) if pt else None for pt in parts]
     h = [None, None]
-    aa: list[list[MemAln]] = [[], []]
+    aa: list[list] = [[], []]
     for i in (0, 1):
-        h[i] = mem_reg2aln(opt, idx, len(seqs[i]), seqs[i], a[i][z[i]])
+        h[i] = ctx.get(plan["h_hdl"][i])
         h[i].mapq = q_se[i]
         h[i].flag |= (0x40 << i) | extra_flag
         h[i].XA = XA[i][z[i]] if XA[i] else None
         aa[i].append(h[i])
-        if n_pri[i] < len(a[i]):  # ALT hit as supplementary
-            p = a[i][n_pri[i]]
-            if p.score >= opt.T and p.secondary < 0 and p.is_alt:
-                g = mem_reg2aln(opt, idx, len(seqs[i]), seqs[i], p)
-                g.flag |= 0x800 | (0x40 << i) | extra_flag
-                g.XA = XA[i][n_pri[i]] if XA[i] else None
-                aa[i].append(g)
+        if plan["supp_hdl"][i] is not None:
+            g = ctx.get(plan["supp_hdl"][i])
+            g.flag |= 0x800 | (0x40 << i) | extra_flag
+            g.XA = XA[i][n_pri[i]] if XA[i] else None
+            aa[i].append(g)
     lines = [[], []]
     for i in (0, 1):
         for w in range(len(aa[i])):
@@ -484,3 +573,21 @@ def mem_sam_pe_finalize(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
                             len(aa[i]), aa[i], w, h[1 - i], rg_id=rg_id,
                             comment=comments[i] if comments else None))
     return lines[0], lines[1]
+
+
+def mem_sam_pe_finalize(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
+                        id_: int, names: list[str],
+                        seqs: list[np.ndarray], quals: list,
+                        a: list[list[AlnReg]],
+                        rg_id=None,
+                        comments=None) -> tuple[list[str], list[str]]:
+    """Pairing + SAM for one pair, after rescue (reference:
+    src/bwamem_pair.c:257-397 mem_sam_pe, minus the rescue block which
+    runs batched in mem_pe_rescue_batch). Thin wrapper over
+    plan/solve/render; slice-level callers (hostpool._emit_pe) share one
+    ctx across many pairs for a single native solve."""
+    ctx = Reg2AlnCtx(opt, idx)
+    plan = mem_sam_pe_plan(opt, idx, pes, id_, names, seqs, quals, a, ctx,
+                           comments=comments)
+    ctx.solve()
+    return mem_sam_pe_render(opt, idx, plan, ctx, rg_id=rg_id)

@@ -242,20 +242,26 @@ def reg2aln_batch(opt: MemOptions, idx: FMIndex, items) -> list:
             cigar, NM, md = _reg2aln_solve_scalar(opt, idx, q, req)
             out[i] = _reg2aln_post(opt, idx, a, ar, lq, cigar, NM, md)
         return out
-    qs, qoff, qlen, rbs, res, ts, ws = [], [], [], [], [], [], []
+    nr = len(req_ids)
+    qoff = np.empty(nr, np.int64)
+    qlen = np.empty(nr, np.int32)
+    rbs = np.empty(nr, np.int64)
+    res = np.empty(nr, np.int64)
+    ts = np.empty(nr, np.int32)
+    ws = np.empty(nr, np.int32)
+    qs = []
     off = 0
-    for i in req_ids:
+    for j, i in enumerate(req_ids):
         _lq, q, _ar = items[i]
         qb, qe, rb, re, tsc, arw = pres[i][1]
-        sl = np.ascontiguousarray(q[qb:qe], dtype=np.uint8)
-        qs.append(sl)
-        qoff.append(off)
-        qlen.append(qe - qb)
+        qs.append(np.ascontiguousarray(q[qb:qe], dtype=np.uint8))
+        qoff[j] = off
+        qlen[j] = qe - qb
         off += qe - qb
-        rbs.append(rb)
-        res.append(re)
-        ts.append(tsc)
-        ws.append(arw)
+        rbs[j] = rb
+        res[j] = re
+        ts[j] = tsc
+        ws[j] = arw
     qstream = np.concatenate(qs) if qs else np.zeros(0, np.uint8)
     cp, coff, cn, nm, mdraw, moff, mlen = reg2aln_native(
         lib, opt, idx, qstream, qoff, qlen, rbs, res, ts, ws)
@@ -265,7 +271,7 @@ def reg2aln_batch(opt: MemOptions, idx: FMIndex, items) -> list:
         o, k = int(coff[j]), int(cn[j])
         cigar = [(int(c & 0xF), int(c >> 4)) for c in cp[o:o + k]]
         mo, ml = int(moff[j]), int(mlen[j])
-        md = mdraw[mo:mo + ml].decode()
+        md = bytes(mdraw[mo:mo + ml]).decode()
         out[i] = _reg2aln_post(opt, idx, a, ar, lq, cigar, int(nm[j]), md)
     for i, (a, req) in enumerate(pres):
         if req is None:
