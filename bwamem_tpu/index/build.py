@@ -21,11 +21,13 @@ from .suffix_array import suffix_array
 
 def read_fasta(path: str) -> list[tuple[str, np.ndarray, str]]:
     """Parse FASTA into [(name, codes, description)] with codes 0..4."""
+    from ..io.fastx import open_maybe_gzip
+
     out: list = []
     name = None
     anno = ""
     chunks: list[bytes] = []
-    with open(path, "rb") as f:
+    with open_maybe_gzip(path) as f:
         for line in f:
             line = line.strip()
             if not line:

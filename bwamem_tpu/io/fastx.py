@@ -15,6 +15,19 @@ import numpy as np
 from ..utils.dna import encode
 
 
+def open_maybe_gzip(path: str):
+    """Binary stream over `path`, transparently gunzipping (the reference
+    reads gzipped FASTA/FASTQ through kseq+zlib, src/kseq.h/src/bwa.c)."""
+    import gzip
+    import io
+
+    f = open(path, "rb")
+    magic = f.peek(2)[:2] if hasattr(f, "peek") else b""
+    if magic == b"\x1f\x8b":
+        return io.BufferedReader(gzip.GzipFile(fileobj=f))
+    return f
+
+
 def _trim_readno(name: str) -> str:
     """Drop a trailing /1 or /2 (reference: src/bwa.c trim_readno via
     bseq_read) so mate QNAMEs match."""
@@ -68,7 +81,7 @@ def _read_fastx_native(lib, path: str,
     recs_p = recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     nrec = ctypes.c_int64()
     buf = b""
-    with open(path, "rb") as f:
+    with open_maybe_gzip(path) as f:
         eof = False
         while not eof or buf:
             if not eof:
@@ -119,7 +132,7 @@ for _i, _ch in enumerate(b"ACGT"):
 
 def _read_fastx_py(path: str) -> Iterator[SeqRecord]:
     """Pure-Python fallback parser (handles multi-line FASTA)."""
-    with open(path, "rb") as f:
+    with open_maybe_gzip(path) as f:
         first = f.peek(1)[:1] if hasattr(f, "peek") else b""
         is_fastq = first == b"@"
         if is_fastq:

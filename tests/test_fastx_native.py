@@ -62,3 +62,30 @@ def test_chunk_boundary_straddle(tmp_path, lib):
         assert len(recs) == 200, chunk
         assert all(len(r.seq) == 120 for r in recs)
         assert recs[199].name == "q199"
+
+
+def test_gzip_transparent(tmp_path):
+    """Gzipped FASTQ parses identically to plain (reference reads gz via
+    kseq+zlib, src/kseq.h); truncated gz fails loudly, not silently."""
+    import gzip
+
+    import numpy as np
+    import pytest
+
+    from bwamem_tpu.io.fastx import read_fastx
+
+    plain = tmp_path / "a.fq"
+    plain.write_text("@r1 c1\nACGTN\n+\nIIIII\n@r2/1\nggcc\n+\nJJJJ\n")
+    gz = tmp_path / "a.fq.gz"
+    gz.write_bytes(gzip.compress(plain.read_bytes()))
+    a = list(read_fastx(str(plain)))
+    b = list(read_fastx(str(gz)))
+    assert len(a) == len(b) == 2
+    for x, y in zip(a, b):
+        assert x.name == y.name and x.qual == y.qual \
+            and x.comment == y.comment
+        assert np.array_equal(x.seq, y.seq)
+    trunc = tmp_path / "t.fq.gz"
+    trunc.write_bytes(gz.read_bytes()[:20])
+    with pytest.raises(Exception):
+        list(read_fastx(str(trunc)))
