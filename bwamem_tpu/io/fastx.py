@@ -20,8 +20,9 @@ def open_maybe_gzip(path: str):
     reads gzipped FASTA/FASTQ through kseq+zlib, src/kseq.h/src/bwa.c)."""
     import gzip
     import io
+    import sys
 
-    f = open(path, "rb")
+    f = sys.stdin.buffer if path == "-" else open(path, "rb")
     magic = f.peek(2)[:2] if hasattr(f, "peek") else b""
     if magic == b"\x1f\x8b":
         return io.BufferedReader(gzip.GzipFile(fileobj=f))

@@ -415,7 +415,7 @@ def mem_aln2sam(opt: MemOptions, idx: FMIndex, name: str, seq: np.ndarray,
         else:
             s_str = _REV_LUT[np.asarray(seq[qb:qe][::-1])].tobytes().decode()
             q_str = qual[qb:qe][::-1] if qual else "*"
-        out += [s_str, q_str if q_str else "*"]
+        out += [s_str if s_str else "*", q_str if q_str else "*"]
 
     # tags
     tags = []
