@@ -138,3 +138,43 @@ def test_pe_invariants(world):
             assert a[6] == "=" and b[6] == "="
             assert int(a[8]) == -int(b[8]) and int(a[8]) != 0
             assert a[7] == b[3] and b[7] == a[3]  # PNEXT reciprocity
+
+
+@pytest.mark.skipif("not __import__('os').environ.get('FUZZ')",
+                    reason="set FUZZ=1 for the long fuzz sweep")
+def test_fuzz_sweep(world):
+    """Randomized option x read-mutation sweep against the invariant
+    checker (run with FUZZ=1; ~minutes)."""
+    g, idx = world
+    G = len(g)
+
+    def rc(r):
+        return np.where(r < 4, 3 - r, 4).astype(np.uint8)[::-1]
+
+    for trial in range(10):
+        tr = np.random.default_rng(5000 + trial)
+        opt = MemOptions()
+        opt.T = int(tr.choice([20, 30, 40]))
+        if tr.random() < 0.3:
+            from bwamem_tpu.pipeline.options import MEM_F_ALL
+            opt.flag |= MEM_F_ALL
+        L = int(tr.choice([100, 150, 250]))
+        al = MemAligner(opt, idx)
+        names, seqs = [], []
+        for i in range(48):
+            p = int(tr.integers(0, G - L - 20))
+            r = g[p:p + L].copy()
+            if i % 3 == 2:
+                p2 = int(tr.integers(0, G - L))
+                r = np.concatenate([g[p:p + L // 2], g[p2:p2 + L - L // 2]])
+            e = tr.random(len(r)) < tr.choice([0.0, 0.02, 0.06])
+            r[e] = (r[e] + 1) % 4
+            if tr.random() < 0.2:
+                s0 = int(tr.integers(0, len(r) - 5))
+                r[s0:s0 + int(tr.integers(1, 6))] = 4
+            if i % 2:
+                r = rc(r)
+            names.append(f"f{i}")
+            seqs.append(r)
+        for ln in al.align_batch(names, seqs):
+            _check_record(ln, idx)
