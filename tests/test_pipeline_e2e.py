@@ -116,3 +116,42 @@ def test_align_one_convenience(tiny_index):
     f = lines[0].split("\t")
     assert f[0] == "one" and not int(f[1]) & 4
     assert int(f[3]) - 1 == 300
+
+
+def test_fastmap_output_format(tmp_path, capsys=None):
+    """fastmap subcommand emits the reference's SQ/EM block format
+    (reference: src/fastmap.c main_fastmap): SQ name len, then one EM
+    line per SMEM with qb, qe, n_occ and up to max hits chrom:+-pos."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from bwamem_tpu.index.build import build_index_from_codes
+    from bwamem_tpu.index.format import Annotation
+
+    rng = np.random.default_rng(3)
+    G = 60_000
+    g = rng.integers(0, 4, G, dtype=np.uint8)
+    idx = build_index_from_codes(
+        g, Annotation(names=["z1"], lengths=[G], offsets=[0]), sa_intv=8)
+    pfx = tmp_path / "fmidx"
+    idx.save(str(pfx) + ".bmt")
+    p = int(rng.integers(0, G - 120))
+    s = "".join("ACGT"[c] for c in g[p:p + 120])
+    fq = tmp_path / "q.fq"
+    fq.write_text(f"@q0\n{s}\n+\n{'I' * 120}\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "bwamem_tpu", "fastmap",
+         str(pfx), str(fq)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-500:]
+    lines = [ln for ln in out.stdout.splitlines() if ln]
+    assert lines[0].startswith("SQ\tq0\t120")
+    ems = [ln for ln in lines if ln.startswith("EM\t")]
+    assert ems, out.stdout
+    f = ems[0].split("\t")
+    qb, qe, n = int(f[1]), int(f[2]), int(f[3])
+    assert 0 <= qb < qe <= 120 and n >= 1
+    assert f[4].startswith("z1:+") or f[4].startswith("z1:-")
+    assert lines[-1] == "//"
