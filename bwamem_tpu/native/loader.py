@@ -24,7 +24,7 @@ _lib = None
 _load_failed = False
 
 _SOURCES = ["sais.cpp", "ksw.cpp", "fastx.cpp", "chain.cpp", "chain2aln.cpp",
-            "reg2aln.cpp"]
+            "reg2aln.cpp", "dedup.cpp"]
 
 
 def _build() -> bool:
@@ -124,6 +124,17 @@ def try_load():
             ctypes.POINTER(ctypes.c_uint8),
         ]
         vp = ctypes.c_void_p
+        lib.bm_dedup_patch_batch.restype = ctypes.c_int
+        lib.bm_dedup_patch_batch.argtypes = [
+            vp, ctypes.c_int64, vp,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_int64,
+            vp, vp, vp,
+            vp, vp, vp, vp, vp, vp, vp,
+            vp, vp, vp, vp, vp,
+            vp, vp,
+        ]
         lib.bm_reg2aln_batch.restype = ctypes.c_int
         lib.bm_reg2aln_batch.argtypes = [
             vp, ctypes.c_int64, vp,
@@ -359,3 +370,31 @@ def reg2aln_native(lib, opt, idx, qstream, q_off, q_len, rb, re, truesc,
             return cig_pool, cig_off, cig_n, nm, md_pool, md_off, md_len
         cig_cap *= 2
         md_cap *= 2
+
+
+def dedup_patch_native(lib, opt, idx, reg_off, qstream, q_off, fields):
+    """Batched mem_sort_dedup_patch over flat region arrays (twin:
+    pipeline/regions.py mem_sort_dedup_patch; reference:
+    src/bwamem.c:580-680). `fields` is a dict of contiguous arrays
+    (rb/re int64, qb/qe/score/truesc/w/seedcov/sub/csub/n_comp int32,
+    rid int32) mutated in place. Returns (out_idx, out_cnt)."""
+    n_regs = len(fields["qb"])
+    n_reads = len(q_off)
+    out_idx = np.empty(n_regs, np.int32)
+    out_cnt = np.empty(n_reads, np.int32)
+    mat = np.ascontiguousarray(opt.mat, dtype=np.int8)
+    lib.bm_dedup_patch_batch(
+        idx.pac_words.ctypes.data, int(idx.l_pac), mat.ctypes.data,
+        int(opt.o_del), int(opt.e_del), int(opt.o_ins), int(opt.e_ins),
+        int(opt.w), int(opt.max_chain_gap), float(opt.mask_level_redun),
+        n_reads,
+        reg_off.ctypes.data, qstream.ctypes.data, q_off.ctypes.data,
+        fields["rb"].ctypes.data, fields["re"].ctypes.data,
+        fields["qb"].ctypes.data, fields["qe"].ctypes.data,
+        fields["score"].ctypes.data, fields["truesc"].ctypes.data,
+        fields["w"].ctypes.data, fields["seedcov"].ctypes.data,
+        fields["sub"].ctypes.data, fields["csub"].ctypes.data,
+        fields["n_comp"].ctypes.data, fields["rid"].ctypes.data,
+        out_idx.ctypes.data, out_cnt.ctypes.data,
+    )
+    return out_idx, out_cnt

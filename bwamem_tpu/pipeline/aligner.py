@@ -487,21 +487,53 @@ class MemAligner:
         fracs = R["frac"][:nR]
         reads_of = R["read"][:nR]
 
-        per: list[list[AlnReg]] = [[] for _ in range(B)]
-        for ri in range(nR):
-            a = AlnReg(w=opt.w, rid=int(rids[ri]),
-                       frac_rep=float(fracs[ri]), is_alt=bool(alts[ri]))
-            a.seedlen0 = int(seedlen0[ri])
-            a.query_seed_begin = int(qseed[ri])
-            a.target_seed_begin = int(rseed[ri])
-            a.align_sides = int(sides[ri])
-            a.score = a.truesc = int(score[ri])
-            a.qb, a.qe = int(qb[ri]), int(qe[ri])
-            a.rb, a.re = int(rb[ri]), int(re[ri])
-            a.seedcov = int(scov[ri])
-            per[int(reads_of[ri])].append(a)
-        return [mem_sort_dedup_patch(opt, idx, seqs[b], per[b])
-                for b in range(B)]
+        # native dedup + patch over the flat arrays (twin:
+        # regions.mem_sort_dedup_patch); objects are built only for the
+        # survivors, in final (score desc, rb, qb) order
+        from ..native.loader import dedup_patch_native
+
+        reg_off = np.searchsorted(
+            reads_of, np.arange(B + 1, dtype=np.int64)).astype(np.int64)
+        qlens = np.fromiter((len(q) for q in seqs), np.int64, B)
+        q_off = np.zeros(B, np.int64)
+        np.cumsum(qlens[:-1], out=q_off[1:])
+        qstream = (np.concatenate([np.asarray(q, np.uint8) for q in seqs])
+                   if B else np.zeros(0, np.uint8))
+        F = dict(
+            rb=np.ascontiguousarray(rb, np.int64),
+            re=np.ascontiguousarray(re, np.int64),
+            qb=np.ascontiguousarray(qb, np.int32),
+            qe=np.ascontiguousarray(qe, np.int32),
+            score=np.ascontiguousarray(score, np.int32),
+            truesc=np.ascontiguousarray(score, np.int32),
+            w=np.full(nR, opt.w, np.int32),
+            seedcov=np.ascontiguousarray(scov, np.int32),
+            sub=np.zeros(nR, np.int32),
+            csub=np.zeros(nR, np.int32),
+            n_comp=np.ones(nR, np.int32),
+            rid=np.ascontiguousarray(rids, np.int32),
+        )
+        lib = loader.try_load()
+        oi, oc = dedup_patch_native(lib, opt, idx, reg_off, qstream, q_off,
+                                    F)
+        per: list[list[AlnReg]] = []
+        for b in range(B):
+            lst = []
+            base = int(reg_off[b])
+            for j in range(int(oc[b])):
+                k = int(oi[base + j])
+                a = AlnReg(
+                    rb=int(F["rb"][k]), re=int(F["re"][k]),
+                    qb=int(F["qb"][k]), qe=int(F["qe"][k]),
+                    rid=int(F["rid"][k]), score=int(F["score"][k]),
+                    truesc=int(F["truesc"][k]), sub=int(F["sub"][k]),
+                    csub=int(F["csub"][k]), w=int(F["w"][k]),
+                    seedcov=int(F["seedcov"][k]),
+                    n_comp=int(F["n_comp"][k]),
+                    is_alt=bool(alts[k]), frac_rep=float(fracs[k]))
+                lst.append(a)
+            per.append(lst)
+        return per
 
     def _run_jobs_arrays(self, out, parts) -> None:
         """Bucketed device extension over array-form jobs; results land in

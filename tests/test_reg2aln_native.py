@@ -117,3 +117,75 @@ def test_rg_id_tagging(small_idx):
     q = g[1000:1150].copy()
     lines = al.align_batch(["r0"], [q])
     assert any("RG:Z:grp7" in ln for ln in lines)
+
+
+def test_dedup_patch_native_matches_python(small_idx):
+    """C++ bm_dedup_patch_batch vs regions.mem_sort_dedup_patch on
+    randomized region sets (split/patchable, near-duplicate, unrelated)."""
+    from bwamem_tpu.native.loader import dedup_patch_native
+    from bwamem_tpu.pipeline.regions import mem_sort_dedup_patch
+
+    if try_load() is None:
+        pytest.skip("native toolchain unavailable")
+    g, idx = small_idx
+    G = len(g)
+    opt = MemOptions()
+    lib = try_load()
+    for trial in range(120):
+        tr = np.random.default_rng(trial)
+        L = 150
+        p0 = int(tr.integers(0, G - L))
+        q = g[p0:p0 + L].copy()
+        e = tr.random(L) < 0.02
+        q[e] = (q[e] + 1) % 4
+        regs = []
+        for _ in range(int(tr.integers(1, 7))):
+            kind = tr.random()
+            if kind < 0.5:
+                cut = int(tr.integers(30, L - 30))
+                d = int(tr.integers(0, 8))
+                regs.append((0, cut, p0, p0 + cut,
+                             cut - int(tr.integers(0, 10))))
+                regs.append((cut + d // 2, L, p0 + cut + d, p0 + L + d,
+                             L - cut - int(tr.integers(0, 10))))
+            elif kind < 0.8:
+                s0 = int(tr.integers(0, 30))
+                e0 = L - int(tr.integers(0, 30))
+                off = int(tr.integers(-3, 4))
+                regs.append((s0, e0, p0 + s0 + off, p0 + e0 + off,
+                             e0 - s0 - int(tr.integers(0, 15))))
+            else:
+                p2 = int(tr.integers(0, G - L))
+                s0 = int(tr.integers(0, 40))
+                e0 = L - int(tr.integers(0, 40))
+                regs.append((s0, e0, p2 + s0, p2 + e0,
+                             e0 - s0 - int(tr.integers(0, 20))))
+        objs = [AlnReg(rb=rb_, re=re_, qb=qb_, qe=qe_, rid=0,
+                       score=max(sc, 1), truesc=max(sc, 1), w=opt.w,
+                       seedcov=int(tr.integers(10, 100)))
+                for (qb_, qe_, rb_, re_, sc) in regs]
+        n = len(objs)
+        F = dict(
+            rb=np.array([o.rb for o in objs], np.int64),
+            re=np.array([o.re for o in objs], np.int64),
+            qb=np.array([o.qb for o in objs], np.int32),
+            qe=np.array([o.qe for o in objs], np.int32),
+            score=np.array([o.score for o in objs], np.int32),
+            truesc=np.array([o.truesc for o in objs], np.int32),
+            w=np.array([o.w for o in objs], np.int32),
+            seedcov=np.array([o.seedcov for o in objs], np.int32),
+            sub=np.zeros(n, np.int32), csub=np.zeros(n, np.int32),
+            n_comp=np.ones(n, np.int32), rid=np.zeros(n, np.int32))
+        exp = mem_sort_dedup_patch(opt, idx, q, list(objs))
+        oi, oc = dedup_patch_native(
+            lib, opt, idx, np.array([0, n], np.int64),
+            np.ascontiguousarray(q, np.uint8), np.array([0], np.int64), F)
+        assert int(oc[0]) == len(exp)
+        for j, ex in enumerate(exp):
+            k = int(oi[j])
+            assert (int(F["score"][k]), int(F["rb"][k]), int(F["re"][k]),
+                    int(F["qb"][k]), int(F["qe"][k]),
+                    int(F["n_comp"][k]), int(F["seedcov"][k]),
+                    int(F["w"][k])) == (ex.score, ex.rb, ex.re, ex.qb,
+                                        ex.qe, ex.n_comp, ex.seedcov,
+                                        ex.w)
