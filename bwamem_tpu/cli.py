@@ -140,11 +140,18 @@ def main(argv=None) -> int:
 
     args = ap.parse_args(argv)
 
-    if args.cmd == "index":
-        return cmd_index(args)
-    if args.cmd == "fastmap":
-        return cmd_fastmap(args)
-    return cmd_align(args)
+    try:
+        if args.cmd == "index":
+            return cmd_index(args)
+        if args.cmd == "fastmap":
+            return cmd_fastmap(args)
+        return cmd_align(args)
+    except (FileNotFoundError, IsADirectoryError, PermissionError,
+            ValueError, EOFError) as e:
+        # expected operational failures get one line, not a traceback
+        # (reference prints [E::...] messages the same way, src/bwa.c)
+        print(f"[bwamem-tpu] error: {e}", file=sys.stderr)
+        return 1
 
 
 def cmd_index(args) -> int:
