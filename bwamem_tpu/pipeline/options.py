@@ -90,7 +90,12 @@ class MemOptions:
 
     @property
     def mapQ_coef_fac(self) -> float:
-        return math.log(self.mapQ_coef_len)
+        # cached (hot in per-record mapQ; invalidated if mapQ_coef_len set)
+        cached = self.__dict__.get("_mqf_cache")
+        if cached is None or cached[0] != self.mapQ_coef_len:
+            cached = (self.mapQ_coef_len, math.log(self.mapQ_coef_len))
+            self.__dict__["_mqf_cache"] = cached
+        return cached[1]
 
     @property
     def mat(self) -> np.ndarray:
