@@ -492,6 +492,9 @@ class MemAligner:
         # survivors, in final (score desc, rb, qb) order
         from ..native.loader import dedup_patch_native
 
+        # regions arrive grouped by read (chain2aln emits reads in order);
+        # the searchsorted grouping below silently corrupts output if not
+        assert reads_of.size == 0 or (np.diff(reads_of) >= 0).all()
         reg_off = np.searchsorted(
             reads_of, np.arange(B + 1, dtype=np.int64)).astype(np.int64)
         qlens = np.fromiter((len(q) for q in seqs), np.int64, B)
