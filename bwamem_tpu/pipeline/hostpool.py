@@ -87,7 +87,9 @@ class HostPool:
 
     def __init__(self, opt, idx, n_threads: int = 1):
         global _STATE
-        self.n = max(int(n_threads), 1)
+        # clamp to physical CPUs: oversubscribing forked workers on a
+        # small host burns time in context switches instead of work
+        self.n = max(min(int(n_threads), os.cpu_count() or 1), 1)
         self.opt = opt
         self.idx = idx
         self._pool = None
