@@ -180,20 +180,38 @@ def _occ_pair_rows(fm: DeviceFMIndex, a, b):
     return rows[:P], rows[P:], r[:P], r[P:]
 
 
-def _rank1(rows, r, c, dt=_I64):
+def _word_prefix_masks(r, W: int, data_lo: int, n_words: int):
+    """(P, W) uint32 per-column prefix masks: packed-data column
+    data_lo + w keeps its first clip(r - 16w) bases; all other columns 0.
+    Lets rank kernels consume gathered rows WHOLE — slicing a gathered
+    array makes XLA fission the gather into one narrow gather per slice
+    (measured 5x cost at P=1M on the target chip)."""
+    col = jnp.arange(W, dtype=jnp.int32)[None, :]
+    w_of = col - data_lo
+    pm = _prefix_mask(jnp.clip(r[:, None] - 16 * w_of, 0, 16))
+    in_range = (col >= data_lo) & (col < data_lo + n_words)
+    return jnp.where(in_range, pm, _U32(0))
+
+
+def _col_pick(rows, c, dt):
+    """rows[i, c[i]] via a masked reduce over the full row (no slice)."""
+    col = jnp.arange(rows.shape[1], dtype=jnp.int32)[None, :]
+    picked = jnp.where(col == c[:, None], rows.astype(_U32), _U32(0))
+    return picked.sum(axis=1, dtype=_U32).astype(dt)
+
+
+def _rank1(rows, r, c, dt=_I64, data_lo: int = 4):
     """Count of code c among the first r bases of each gathered row.
-    rows: (P, 8) int32; r, c: (P,) int32. Returns (P,) dt."""
-    w = rows[:, 4:].astype(_U32)
-    r_w = jnp.clip(r[:, None] - 16 * jnp.arange(4, dtype=jnp.int32)[None, :],
-                   0, 16)
+    rows: (P, W) int32 with count columns 0..3 and 4 packed-data words at
+    columns [data_lo, data_lo+4); r, c: (P,) int32. Returns (P,) dt.
+    Full-row consumption (no slicing; see _word_prefix_masks)."""
+    u = rows.astype(_U32)
     pat = (c.astype(_U32) * _U32(0x55555555))[:, None]
-    y = ~(w ^ pat)
-    pairs = y & (y >> 1) & _U32(0x55555555) & _prefix_mask(r_w)
-    pc = jax.lax.population_count(pairs).sum(axis=1).astype(dt)
-    sel = (jnp.arange(4, dtype=jnp.int32)[None, :] == c[:, None])
-    base = jnp.where(sel, _row_base_counts(rows, dt), 0).sum(
-        axis=1, dtype=dt)
-    return base + pc
+    y = ~(u ^ pat)
+    bits = y & (y >> 1) & _U32(0x55555555)
+    bits = bits & _word_prefix_masks(r, rows.shape[1], data_lo, 4)
+    pc = jax.lax.population_count(bits).sum(axis=1).astype(dt)
+    return _col_pick(rows, c, dt) + pc
 
 
 def backward_ext_ks_batch(fm: DeviceFMIndex, k, s, c):
@@ -213,18 +231,20 @@ def backward_ext_ks_batch(fm: DeviceFMIndex, k, s, c):
     return l2c + 1 + ok, ol - ok
 
 
-def _rank4(rows, r, dt=_I64):
+def _rank4(rows, r, dt=_I64, data_lo: int = 4):
     """Counts of all 4 codes among the first r bases of each gathered row.
-    rows: (P, 8); r: (P,) int32. Returns (P, 4) dt."""
-    w = rows[:, 4:].astype(_U32)
-    r_w = jnp.clip(r[:, None] - 16 * jnp.arange(4, dtype=jnp.int32)[None, :],
-                   0, 16)
-    masks = _prefix_mask(r_w)
+    rows: (P, W) int32 (counts at cols 0..3, data at [data_lo,
+    data_lo+4)); r: (P,) int32. Returns (P, 4) dt. Full-row consumption."""
+    u = rows.astype(_U32)
+    masks = _word_prefix_masks(r, rows.shape[1], data_lo, 4)
     pats = (jnp.arange(4, dtype=_U32) * _U32(0x55555555))[None, :, None]
-    y = ~(w[:, None, :] ^ pats)
-    pairs = y & (y >> 1) & _U32(0x55555555) & masks[:, None, :]
-    pc = jax.lax.population_count(pairs).sum(axis=2).astype(dt)
-    return _row_base_counts(rows, dt) + pc
+    y = ~(u[:, None, :] ^ pats)
+    bits = y & (y >> 1) & _U32(0x55555555) & masks[:, None, :]
+    pc = jax.lax.population_count(bits).sum(axis=2).astype(dt)
+    col = jnp.arange(rows.shape[1], dtype=jnp.int32)[None, None, :]
+    base = jnp.where(col == jnp.arange(4, dtype=jnp.int32)[None, :, None],
+                     u[:, None, :], _U32(0)).sum(axis=2, dtype=_U32)
+    return base.astype(dt) + pc
 
 
 def backward_ext4(fm: DeviceFMIndex, k, l, s):
@@ -281,6 +301,195 @@ def set_intv(fm: DeviceFMIndex, c):
     return k, l, s
 
 
+def _match_bits(w, pat):
+    """Per-base match bitmask (01 pattern) of packed words vs code."""
+    y = ~(w ^ pat)
+    return y & (y >> 1) & _U32(0x55555555)
+
+
+# occ2 pair-table layout constants (build_occ2_host: 128 rows/block,
+# pair counts at cols 0..15, packed 4-bit pair codes at cols 16..31)
+_O2_SHIFT = 7
+_O2_MASK = 127
+_O2_DATA = 16
+
+
+def _nib_prefix_masks(r):
+    """(P, 32) uint32 per-column 4-bit-granular prefix masks: data column
+    _O2_DATA + w keeps its first clip(r - 8w) nibbles; others 0."""
+    col = jnp.arange(32, dtype=jnp.int32)[None, :]
+    q = jnp.clip(r[:, None] - 8 * (col - _O2_DATA), 0, 8)
+    full = _U32(0xFFFFFFFF)
+    sh = jnp.clip(32 - 4 * q, 0, 31).astype(_U32)
+    pm = jnp.where(q <= 0, _U32(0), (full << sh) & full)
+    return jnp.where(col >= _O2_DATA, pm, _U32(0))
+
+
+def _rank_pair_single(fm, rows, r, j, d, dt=_I64):
+    """(pair-rank of code d, single-rank of code d&3) over gathered occ2
+    rows — ONE nibble-match chain serves both: a nibble equals d iff all
+    4 bit-matches hold, and its BWT char equals d&3 iff the low 2 hold.
+    Full-row consumption, no lane rolls (both break gather fusion)."""
+    u = rows.astype(_U32)
+    pm = _nib_prefix_masks(r)
+    y = ~(u ^ (d.astype(_U32) * _U32(0x11111111))[:, None])
+    low2 = y & (y >> 1) & _U32(0x11111111) & pm
+    all4 = low2 & (y >> 2) & (y >> 3)
+    pc2 = jax.lax.population_count(all4).sum(axis=1).astype(dt)
+    pc1 = jax.lax.population_count(low2).sum(axis=1).astype(dt)
+    col = jnp.arange(32, dtype=jnp.int32)[None, :]
+    base2 = jnp.where(col == d[:, None], u, _U32(0)).sum(
+        axis=1, dtype=_U32).astype(dt)
+    csel = (col < 16) & ((col & 3) == (d & 3)[:, None])
+    base1 = jnp.where(csel, u, _U32(0)).sum(axis=1, dtype=_U32).astype(dt)
+    # bogus-row corrections (previous char = sentinel at row sa1_j): the
+    # stored nibble is (0, cur); pair counts exclude it, single includes
+    sa1_j = fm.sa1_scalars[0].astype(j.dtype)
+    sa1_pair = fm.sa1_scalars[1]
+    bogus = ((d == sa1_pair)
+             & ((j >> _O2_SHIFT) == (sa1_j >> _O2_SHIFT))
+             & ((sa1_j & _O2_MASK).astype(jnp.int32) < r))
+    back = (((d & 3) == (sa1_pair & 3))
+            & ((sa1_j >> _O2_SHIFT) < (j >> _O2_SHIFT)))
+    return (base2 + pc2 - bogus.astype(dt),
+            base1 + pc1 + back.astype(dt))
+
+
+def _sel16(tbl, d, dt):
+    """tbl[d] for d in 0..15 without a gather. tbl: (16,); d: (P,)."""
+    sel = (jnp.arange(16, dtype=jnp.int32)[None, :] == d[:, None])
+    return jnp.where(sel, tbl.astype(dt)[None, :], 0).sum(axis=1, dtype=dt)
+
+
+def _occ2_pair_rows(fm: DeviceFMIndex, a, b):
+    """Gather occ2 rows for BWT$ row-indices a and b in ONE fused pass.
+    Returns (rows_a, rows_b, j_a, j_b, r_a, r_b)."""
+    i2 = jnp.concatenate([a, b])
+    j = i2 - (i2 > _prim(fm)).astype(i2.dtype)
+    rows = fm.occ2_blocks[(j >> _O2_SHIFT).astype(jnp.int32)]
+    r = (j & _O2_MASK).astype(jnp.int32)
+    P = a.shape[0]
+    return rows[:P], rows[P:], j[:P], j[P:], r[:P], r[P:]
+
+
+def backward_ext2_ks_batch(fm: DeviceFMIndex, k, s, c1, c2):
+    """2-step backward extension of the k-side interval: prepend c2 then
+    c1 (i.e. the new prefix is c1 c2 + current suffix) using the
+    dinucleotide occ2 table — ONE fused row-gather pass yields BOTH the
+    pair result and the single-step (c2 only) fallback:
+      returns (k2, s2, k1, s1).
+    Semantics: (k2, s2) == backward_ext_ks(backward_ext_ks(k,s,c2), c1);
+    (k1, s1) == backward_ext_ks(k, s, c2).
+    """
+    dt = idx_dt(fm)
+    k = k.astype(dt)
+    s = s.astype(dt)
+    P = k.shape[0]
+    i2 = jnp.concatenate([k, k + s])
+    j = i2 - (i2 > _prim(fm)).astype(i2.dtype)
+    rows = fm.occ2_blocks[(j >> _O2_SHIFT).astype(jnp.int32)]
+    r = (j & _O2_MASK).astype(jnp.int32)
+    c2_32 = c2.astype(jnp.int32)
+    d = (c1.astype(jnp.int32) << 2) | c2_32
+    # one rank computation over BOTH endpoints (the wide ops run once on
+    # the (2P, 32) gathered rows instead of twice on each half)
+    d2 = jnp.concatenate([d, d])
+    r2_, r1_ = _rank_pair_single(fm, rows, r, j, d2, dt)
+    ok2, ol2 = r2_[:P], r2_[P:]
+    ok1, ol1 = r1_[:P], r1_[P:]
+    k2 = _sel16(fm.occ2_start, d, dt) + ok2
+    s2 = ol2 - ok2
+    sel = (jnp.arange(4, dtype=jnp.int32)[None, :] == c2_32[:, None])
+    l2c = jnp.where(sel, _L2(fm)[:4][None, :], 0).sum(axis=1, dtype=dt)
+    k1 = l2c + 1 + ok1
+    s1 = ol1 - ok1
+    return k2, s2, k1, s1
+
+
+def _ssa_bits(ssa_row, off):
+    """(is_sampled_bit, rank_before_row) from a padded SSA bitmap row
+    [rank_before, bits_lo, bits_hi, ...]. Columns are extracted with
+    masked reduces so the row gather stays whole (see
+    _word_prefix_masks)."""
+    P = off.shape[0]
+    zero = jnp.zeros((P,), jnp.int32)
+    rank0 = _col_pick(ssa_row, zero, jnp.int32)
+    lo = _col_pick(ssa_row, zero + 1, jnp.int32).astype(_U32)
+    hi = _col_pick(ssa_row, zero + 2, jnp.int32).astype(_U32)
+    word = jnp.where(off < 32, lo, hi)
+    bit = (word >> (off & 31).astype(_U32)) & 1
+    below_lo = lo & ((_U32(1) << jnp.clip(off, 0, 31).astype(_U32)) - 1)
+    below_lo = jnp.where(off >= 32, lo, below_lo)
+    below_hi = jnp.where(
+        off > 32,
+        hi & ((_U32(1) << jnp.clip(off - 32, 0, 31).astype(_U32)) - 1),
+        _U32(0))
+    rank = (rank0
+            + jax.lax.population_count(below_lo).astype(jnp.int32)
+            + jax.lax.population_count(below_hi).astype(jnp.int32))
+    return bit, rank
+
+
+def sa_lookup2_batch(fm: DeviceFMIndex, rows):
+    """Batched SA$ lookup via a 2-step (dinucleotide) LF walk: each trip
+    advances TWO text positions with one occ2-row gather (pair table)
+    plus one fused SSA-bitmap pass over {row r, previous trip's
+    intermediate row m} — the two gathers hit different tables and
+    overlap. The intermediate row's sampled test is deferred one trip —
+    exact, since a hit freezes the lane's recorded (rank, step)
+    regardless of where r has wandered meanwhile."""
+    P = rows.shape[0]
+    four = jnp.arange(4, dtype=jnp.int32)[None, :]
+    dt = idx_dt(fm)
+    rows = rows.astype(dt)
+
+    def trip(carry, t):
+        r, m, rank_hit, step_hit, done = carry
+        j = r - (r > _prim(fm)).astype(dt)
+        occ_row = fm.occ2_blocks[(j >> _O2_SHIFT).astype(jnp.int32)]
+        idx2 = fm.n_occ_blocks + jnp.concatenate(
+            [(r >> 6).astype(jnp.int32), (m >> 6).astype(jnp.int32)])
+        ssa2 = fm.occ_blocks[idx2]               # (2P, 8), narrow table
+        ssa_r, ssa_m = ssa2[:P], ssa2[P:]
+        # deferred test of the PREVIOUS trip's intermediate row (odd step)
+        bit_m, rank_m = _ssa_bits(ssa_m, (m & 63).astype(jnp.int32))
+        hit_m = (bit_m == 1) & jnp.logical_not(done) & (t > 0)
+        rank_hit = jnp.where(hit_m, rank_m, rank_hit)
+        step_hit = jnp.where(hit_m, 2 * t - 1, step_hit)
+        done = done | hit_m
+        # test of the current (even step) row
+        bit_r, rank_r = _ssa_bits(ssa_r, (r & 63).astype(jnp.int32))
+        hit_r = (bit_r == 1) & jnp.logical_not(done)
+        rank_hit = jnp.where(hit_r, rank_r, rank_hit)
+        step_hit = jnp.where(hit_r, 2 * t, step_hit)
+        done = done | hit_r
+        # single LF (intermediate) + double LF (next even row), both from
+        # the already-gathered occ2 row: one nibble holds (prev, cur)
+        rr = (j & _O2_MASK).astype(jnp.int32)
+        w = _col_pick(occ_row, _O2_DATA + (rr >> 3), jnp.int32).astype(_U32)
+        d = ((w >> (28 - 4 * (rr & 7)).astype(_U32)) & 15).astype(jnp.int32)
+        c2 = d & 3        # BWT char
+        occ2_c, occ_c = _rank_pair_single(fm, occ_row, rr, j, d, dt)
+        l2c = jnp.where(four == c2[:, None], _L2(fm)[:4][None, :], 0).sum(
+            axis=1, dtype=dt)
+        m_new = jnp.where(r == _prim(fm), dt(0), l2c + 1 + occ_c)
+        r2 = _sel16(fm.occ2_start, d, dt) + occ2_c
+        # the double step is invalid when the intermediate row is the
+        # primary (prev char = sentinel) — but then SA[m]=0 is sampled, so
+        # the lane is caught by next trip's deferred test; r2 is garbage
+        # only for a lane that is already guaranteed done.
+        r = jnp.where(done, r, r2)
+        m = jnp.where(done, m, m_new)
+        return (r, m, rank_hit, step_hit, done), None
+
+    n_trips = fm.sa_intv // 2 + 1
+    init = (rows, jnp.zeros(P, dt), jnp.zeros(P, jnp.int32),
+            jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.bool_))
+    (_, _, rank_hit, step_hit, _), _ = jax.lax.scan(
+        trip, init, jnp.arange(n_trips, dtype=jnp.int32))
+    return _ssa_combine(fm, rank_hit, step_hit)
+
+
 def _ssa_combine(fm: DeviceFMIndex, rank, step):
     """Sampled-SA value: uint32 low word + uint8 upper bits + walk steps."""
     dt = idx_dt(fm)
@@ -310,29 +519,14 @@ def sa_lookup_batch(fm: DeviceFMIndex, rows):
         occ_row, ssa_row = rows2[:P], rows2[P:]
         # sampled test + rank (bitmap of sampled rows, 64 rows/block)
         off = (r & 63).astype(jnp.int32)
-        lo = ssa_row[:, 1].astype(_U32)
-        hi = ssa_row[:, 2].astype(_U32)
-        word = jnp.where(off < 32, lo, hi)
-        bit = (word >> (off & 31).astype(_U32)) & 1
-        below_lo = lo & ((_U32(1) << jnp.clip(off, 0, 31).astype(_U32)) - 1)
-        below_lo = jnp.where(off >= 32, lo, below_lo)
-        below_hi = jnp.where(
-            off > 32,
-            hi & ((_U32(1) << jnp.clip(off - 32, 0, 31).astype(_U32)) - 1),
-            _U32(0))
-        rank = (ssa_row[:, 0]
-                + jax.lax.population_count(below_lo).astype(jnp.int32)
-                + jax.lax.population_count(below_hi).astype(jnp.int32))
+        bit, rank = _ssa_bits(ssa_row, off)
         hit = jnp.logical_and(bit == 1, jnp.logical_not(done))
         rank_hit = jnp.where(hit, rank, rank_hit)
         step_hit = jnp.where(hit, step, step_hit)
         done = jnp.logical_or(done, hit)
         # LF from the already-gathered occ row
         rr = (j & 63).astype(jnp.int32)
-        w4 = occ_row[:, 4:].astype(jnp.int32)
-        w = jnp.where(four == (rr >> 4)[:, None], w4, 0).sum(
-            axis=1, dtype=jnp.int32)
-        w = w.astype(_U32)
+        w = _col_pick(occ_row, 4 + (rr >> 4), jnp.int32).astype(_U32)
         c = ((w >> (30 - 2 * (rr & 15)).astype(_U32)) & 3).astype(jnp.int32)
         occ_c = _rank1(occ_row, rr, c, dt)
         sel = four == c[:, None]

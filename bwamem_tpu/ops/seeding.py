@@ -128,23 +128,25 @@ def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len,
 def _compact_global(fields, emit, pool_size):
     """Scatter emitted entries (flat scan order) into a flat pool.
     fields: tuple of (B, N) arrays. Returns (pooled fields, read_id, valid,
-    overflow)."""
+    overflow).
+
+    ONE index scatter + per-field gathers (instead of one big scatter per
+    field — scatters over the (B*(L+1),) emission plane were ~half the
+    forward stage's time; gathers at pool size are ~5x cheaper)."""
     B, N = emit.shape
     flat_emit = emit.reshape(-1)
     dst = jnp.cumsum(flat_emit.astype(jnp.int32), dtype=jnp.int32) - 1
     ok = jnp.logical_and(flat_emit, dst < pool_size)
     dst_safe = jnp.where(ok, dst, pool_size)  # spill slot
 
-    def scatter(x):
-        out = jnp.zeros((pool_size + 1,), x.dtype)
-        return out.at[dst_safe].set(x.reshape(-1))[:pool_size]
-
-    pooled = tuple(scatter(f) for f in fields)
-    rid_src = jnp.broadcast_to(
-        jnp.arange(B, dtype=jnp.int32)[:, None], (B, N))
-    rid = scatter(rid_src)
+    src = jnp.zeros((pool_size + 1,), jnp.int32).at[dst_safe].set(
+        jnp.arange(B * N, dtype=jnp.int32))[:pool_size]
     n = jnp.minimum(dst[-1] + 1, pool_size)
     valid = jnp.arange(pool_size, dtype=jnp.int32) < n
+    # invalid tail slots hold field value 0 (matching the old
+    # zero-initialised per-field scatters; downstream masks rely on it)
+    pooled = tuple(jnp.where(valid, f.reshape(-1)[src], 0) for f in fields)
+    rid = jnp.where(valid, src // N, 0)
     overflow = dst[-1] + 1 > pool_size
     return pooled, rid, valid, overflow
 
@@ -229,6 +231,82 @@ def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid):
     return qb, kk, ss
 
 
+def _backward_pass2(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid):
+    """2-step variant of _backward_pass over the dinucleotide occ2 table:
+    each trip prepends a base PAIR with one fused row-gather pass (half
+    the serial pass chain of the per-base walk); the pair query's same
+    gathered rows also yield the single-base fallback used at the walk's
+    death point (odd-length extension). Post-containment-filter results
+    are identical to _backward_pass; raw walks may differ only on
+    early-killed (contained) lanes, whose frozen qb can never win the
+    strictly-below suffix-min test against their surviving neighbour."""
+    B, L = reads.shape
+    reads_flat = reads.reshape(-1)
+
+    FT2 = 9  # pair trips in the no-cond phase (covers 18 bases; p100
+    #          single-step walk = 17 on 1%-error reads)
+    w_off = jnp.arange(2 * FT2, dtype=jnp.int32)
+    w_idx = (rid * L + qbeg - 1)[:, None] - w_off[None, :]
+    window = jnp.where(
+        qbeg[:, None] - 1 - w_off[None, :] >= 0,
+        reads_flat[jnp.clip(w_idx, 0, B * L - 1)], 4)
+
+    def cond(state):
+        _, _, _, done, it = state
+        return jnp.logical_and(jnp.logical_not(jnp.all(done)), it < L)
+
+    def make_body(use_window: bool):
+        def body(state):
+            qb, kk, ss, done, it = state
+            if use_window:
+                c2 = jax.lax.dynamic_index_in_dim(
+                    window, 2 * it, axis=1, keepdims=False)
+                c1 = jax.lax.dynamic_index_in_dim(
+                    window, 2 * it + 1, axis=1, keepdims=False)
+            else:
+                c2 = jnp.where(
+                    qb - 1 >= 0,
+                    reads_flat[jnp.clip(rid * L + qb - 1, 0, B * L - 1)], 4)
+                c1 = jnp.where(
+                    qb - 2 >= 0,
+                    reads_flat[jnp.clip(rid * L + qb - 2, 0, B * L - 1)], 4)
+            alive = jnp.logical_not(done)
+            can1 = alive & (qb - 1 >= 0) & (c2 < 4)
+            can2 = can1 & (qb - 2 >= 0) & (c1 < 4)
+            kq = jnp.where(can1, kk, 0)
+            sq = jnp.where(can1, ss, 1)
+            k2, s2, k1, s1 = fmops.backward_ext2_ks_batch(
+                fm, kq, sq, jnp.where(can2, jnp.clip(c1, 0, 3), 0),
+                jnp.where(can1, jnp.clip(c2, 0, 3), 0))
+            ok2 = can2 & (s2 >= 1)
+            ok1 = jnp.logical_not(ok2) & can1 & (s1 >= 1)
+            qb = jnp.where(ok2, qb - 2, jnp.where(ok1, qb - 1, qb))
+            kk = jnp.where(ok2, k2, jnp.where(ok1, k1, kk))
+            ss = jnp.where(ok2, s2, jnp.where(ok1, s1, ss))
+            # a lane survives only via the pair step; a single step is the
+            # death-point fix-up (the next prepend is already known dead)
+            done = jnp.logical_not(ok2)
+            # early kill: contained candidate converged with its longer
+            # neighbour (same as _backward_pass)
+            nxt = lambda a: jnp.concatenate([a[1:], a[-1:]])
+            same = (jnp.concatenate([rid[1:], jnp.full((1,), -1, rid.dtype)])
+                    == rid)
+            same &= nxt(qb) == qb
+            same &= nxt(ss) == ss
+            same &= nxt(kk) == kk
+            done = jnp.logical_or(done, same)
+            return qb, kk, ss, done, it + 1
+
+        return body
+
+    done0 = jnp.logical_not(valid)
+    state = (qbeg, k, s, done0, jnp.int32(0))
+    state = jax.lax.fori_loop(
+        0, min(FT2, (L + 1) // 2), lambda _, st: make_body(True)(st), state)
+    qb, kk, ss, _, _ = jax.lax.while_loop(cond, make_body(False), state)
+    return qb, kk, ss
+
+
 def _segmented_suffix_min(v, seg):
     """For each i: min(v[j] for j > i with seg[j] == seg[i]) (exclusive),
     BIG if none. v, seg: (P,) int32."""
@@ -294,6 +372,10 @@ def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size, max_occ):
     g = lambda a: a[cand]
     rows = jnp.where(seed_valid, g(k) + off.astype(k.dtype) * g(step),
                      k.dtype.type(0))
+    # NOTE: the 2-step SA walk (fmops.sa_lookup2_batch) measured slower
+    # than the single-step walk on the target chip (its extra occ2-row
+    # gather per trip outweighs the halved trip count at sa_intv=8), so
+    # SA resolution stays single-step even when the pair table exists.
     rbeg = fmops.sa_lookup_batch(fm, rows)
     return dict(
         read_id=jnp.where(seed_valid, g(rid), -1),
@@ -425,7 +507,8 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         keep = jnp.logical_and(valid,
                                end - qbeg >= cfg.min_seed_len)
     else:
-        qbeg, k, s = _backward_pass(fm, reads, rid, start, k, s, valid)
+        bw = _backward_pass2 if fm.has_occ2 else _backward_pass
+        qbeg, k, s = bw(fm, reads, rid, start, k, s, valid)
         if cfg.mode == "mem":
             keep = _dup_filter(qbeg, rid, s, valid, end, cfg.min_seed_len)
         else:

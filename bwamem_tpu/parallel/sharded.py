@@ -38,27 +38,40 @@ def sharded_align_step(mesh: Mesh, cfg: AlignStepConfig = AlignStepConfig(),
     fm is replicated; reads/lens are sharded on the batch dimension; the
     outputs are allgathered (so each process holds the full result) plus a
     psum'd total-seed count to exercise a reduction collective.
-    """
-    fm_specs = jax.tree_util.tree_map(lambda _: P(), _fm_proto())
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(fm_specs, P(axis), P(axis)),
-        out_specs=(P(axis) if not gather_out else P(), P()),
-        check_vma=False,
-    )
-    def step(fm, reads, lens):
-        out = device_align_step(fm, reads, lens, cfg)
-        total_seeds = jax.lax.psum(jnp.sum(out.pop("n_seeds")), axis)
-        if gather_out:
-            out = jax.tree_util.tree_map(
-                lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
-                out,
-            )
-        return out, total_seeds
+    The shard_map's in_specs must mirror the index's exact pytree
+    (including static flags like has_occ2), so the jitted step is built
+    lazily per index structure and cached."""
+    jitted: dict = {}
 
-    return jax.jit(step)
+    def build(fm_specs):
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(fm_specs, P(axis), P(axis)),
+            out_specs=(P(axis) if not gather_out else P(), P()),
+            check_vma=False,
+        )
+        def step(fm, reads, lens):
+            out = device_align_step(fm, reads, lens, cfg)
+            total_seeds = jax.lax.psum(jnp.sum(out.pop("n_seeds")), axis)
+            if gather_out:
+                out = jax.tree_util.tree_map(
+                    lambda x: jax.lax.all_gather(x, axis, axis=0,
+                                                 tiled=True),
+                    out,
+                )
+            return out, total_seeds
+
+        return jax.jit(step)
+
+    def call(fm, reads, lens):
+        specs, treedef = _fm_specs(fm)
+        if treedef not in jitted:
+            jitted[treedef] = build(specs)
+        return jitted[treedef](fm, reads, lens)
+
+    return call
 
 
 def sharded_seed_batch(mesh: Mesh, fm: DeviceFMIndex, reads, lens, cfg,
@@ -72,7 +85,7 @@ def sharded_seed_batch(mesh: Mesh, fm: DeviceFMIndex, reads, lens, cfg,
     n_dev = mesh.devices.size
     B = reads.shape[0]
     assert B % n_dev == 0, "caller pads the batch to the mesh size"
-    fm_specs = jax.tree_util.tree_map(lambda _: P(), _fm_proto())
+    fm_specs, _ = _fm_specs(fm)
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(fm_specs, P(axis), P(axis)),
@@ -113,13 +126,13 @@ def sharded_extend_batch(mesh: Mesh, query, target, qlen, tlen, h0, mat,
     return jax.jit(step)(query, target, qlen, tlen, h0, mat)
 
 
-def _fm_proto():
-    """Pytree prototype with the same structure as DeviceFMIndex."""
-    z = jnp.zeros((1,), jnp.int32)
-    return DeviceFMIndex(
-        occ_blocks=z, L2=z, n_occ_blocks=z, ssa_vals=z, ssa_vals_hi=z,
-        pac_words=z, primary=z, seq_len=z, l_pac=z,
-    )
+def _fm_specs(fm: DeviceFMIndex):
+    """(replicated PartitionSpecs, treedef) mirroring this index's pytree
+    structure — static fields (wide/has_occ2/sa_intv) are part of the
+    treedef, so specs must be derived from the actual index."""
+    leaves, treedef = jax.tree_util.tree_flatten(fm)
+    return jax.tree_util.tree_unflatten(
+        treedef, [P() for _ in leaves]), treedef
 
 
 def shard_reads(mesh: Mesh, reads: np.ndarray, lens: np.ndarray,
