@@ -26,24 +26,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -0x40000000  # plain int: jnp scalars become captured consts in Pallas
+NEG16 = -16384     # sentinel for the int16 DP variant
 
 
-def _prefix_max_exclusive(x, width):
+def _shift_lanes(x, d, fill):
+    """x shifted right by d lanes, left-filled with `fill` (static d).
+    Static slice + concat instead of pltpu.roll+where: one op fewer per
+    step, and it lowers for int16 (Mosaic has no 16-bit lane rotate)."""
+    pad = jnp.full((x.shape[0], d), fill, x.dtype)
+    return jnp.concatenate([pad, x[:, :-d]], axis=1)
+
+
+def _prefix_max_exclusive(x, width, neg):
     """Exclusive running max along the lane axis (column j gets
-    max(x[:, :j]), NEG for j=0). width = static number of columns."""
-    u = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    # shift right by 1 (exclusive), then log-step accumulation
-    acc = jnp.where(u >= 1, pltpu.roll(x, 1, axis=1), NEG)
+    max(x[:, :j]), neg for j=0). width = static number of columns."""
+    neg = x.dtype.type(neg)
+    acc = _shift_lanes(x, 1, neg)  # exclusive
     d = 1
     while d < width:
-        shifted = jnp.where(u >= d, pltpu.roll(acc, d, axis=1), NEG)
-        acc = jnp.maximum(acc, shifted)
+        acc = jnp.maximum(acc, _shift_lanes(acc, d, neg))
         d <<= 1
     return acc
 
 
 def _make_kernel(QP, TMAX, a, b, o_del, e_del, o_ins, e_ins, w, zdrop,
-                 end_bonus, opt_ext):
+                 end_bonus, opt_ext, use_i16):
     # pin all closure scalars to int32: with jax_enable_x64 on, Python ints
     # promote to int64, which Mosaic cannot lower (and trips a promotion
     # recursion); the DP itself is int32 throughout
@@ -57,25 +64,46 @@ def _make_kernel(QP, TMAX, a, b, o_del, e_del, o_ins, e_ins, w, zdrop,
     oe_del = _np.int32(o_del + e_del)
     oe_ins = _np.int32(o_ins + e_ins)
 
+    # DP dtype: int16 when scores provably fit (2x VPU lanes per op);
+    # trackers that hold column/row indices stay int32
+    dp = jnp.int16 if use_i16 else jnp.int32
+    neg = NEG16 if use_i16 else NEG
+    QP2 = QP  # packed-key radix for the fused (rowmax, mj) reduction
+
     def kernel(q_ref, t_ref, meta_ref, out_ref):
-        # q_ref: (TILE, QP) query codes at columns u>=1 (col u holds q[u-1])
+        # q_ref: (TILE, QP) query codes (dp dtype) at columns u>=1
         # t_ref: (TILE, TMAX); meta_ref: (TILE, 8) [qlen, tlen, h0, ...]
         TILE = q_ref.shape[0]
+        # Mosaic 16-bit gaps shape this code: no int16 reductions, no
+        # 16-bit lane rotate/broadcast, no i1 relayout between the 32-bit
+        # and 16-bit mask layouts. So: (TILE, QP) masks selecting dp
+        # values are built from a dp iota / full dp operands; per-row
+        # (TILE, 1) scalars are broadcast in int32 (supported) and then
+        # value-converted; all (TILE, 1) trackers stay int32.
         u = jax.lax.broadcasted_iota(jnp.int32, (TILE, QP), 1)
+        ud = u.astype(dp)  # no 16-bit iota in hardware; converted once
         qlen = meta_ref[:, 0:1]
         tlen = meta_ref[:, 1:2]
         h0 = meta_ref[:, 2:3]
 
+        def bcast_d(x):
+            """(TILE, 1) int32 -> (TILE, QP) dp, via int32 broadcast."""
+            return jnp.broadcast_to(x, (TILE, QP)).astype(dp)
+
+        h0f = bcast_d(h0)
+        qlenf = bcast_d(qlen)
+
         q = q_ref[:]
-        qmask = jnp.logical_and(u >= 1, u <= qlen)
+        qmask_d = jnp.logical_and(ud >= 1, ud <= qlenf)
 
         max_ins = jnp.maximum((qlen * a + end_bonus - o_ins) // e_ins + 1, 1)
         max_del = jnp.maximum((qlen * a + end_bonus - o_del) // e_del + 1, 1)
         w_lane = jnp.minimum(jnp.minimum(max_ins, max_del), w)
 
-        H0 = jnp.maximum(h0 - o_ins - e_ins * u, 0)
-        H0 = jnp.where(u == 0, h0, H0)
-        H0 = jnp.where(u <= qlen, H0, 0)
+        eu = ud * dp(e_ins)                  # e_ins * u, precomputed
+        H0 = jnp.maximum(h0f - dp(o_ins) - eu, 0)
+        H0 = jnp.where(ud == 0, h0f, H0)
+        H0 = jnp.where(ud <= qlenf, H0, dp(0))
 
         t_all = t_ref[:]
         t_lane = jax.lax.broadcasted_iota(jnp.int32, t_all.shape, 1)
@@ -87,48 +115,62 @@ def _make_kernel(QP, TMAX, a, b, o_del, e_del, o_ins, e_ins, w, zdrop,
             # are not supported by Mosaic)
             tchar = jnp.max(jnp.where(t_lane == i, t_all, -1), axis=1,
                             keepdims=True)
+            tcharf = bcast_d(tchar)
             active = jnp.logical_and(jnp.logical_not(dead), i < tlen)
 
             # score of q[u-1] vs tchar at columns u >= 1
-            S = jnp.where(q == tchar, jnp.int32(a), jnp.int32(-b))
-            S = jnp.where(
-                jnp.logical_or(q > 3, tchar > 3), jnp.int32(-1), S)
+            S = jnp.where(q == tcharf, dp(a), dp(-b))
+            S = jnp.where(jnp.logical_or(q > 3, tcharf > 3), dp(-1), S)
 
-            Hd = pltpu.roll(H, 1, axis=1)  # H(i-1, u-1) at column u
-            M = jnp.where(Hd > 0, Hd + S, 0)
-            M = jnp.where(u == 0, 0, M)
+            Hd = _shift_lanes(H, 1, dp(0))  # H(i-1, u-1) at column u
+            M = jnp.where(Hd > 0, Hd + S, dp(0))
 
             if opt_ext:
-                j = u - 1
-                in_band = jnp.logical_and(
-                    j >= i - w_lane, j < i + w_lane + 1)
+                j = ud - 1
+                lo_f = bcast_d(i - w_lane)
+                hi_f = bcast_d(i + w_lane + 1)
+                in_band = jnp.logical_and(j >= lo_f, j < hi_f)
                 live = jnp.logical_and(
-                    jnp.logical_or(in_band, u == 0), qmask)
+                    jnp.logical_or(in_band, ud == 0), qmask_d)
+                Mx = jnp.where(live, M, dp(0))
+                Ex = jnp.where(live, E, dp(0))
             else:
-                live = qmask
-            Mx = jnp.where(live, M, 0)
-            Ex = jnp.where(live, E, 0)
+                # unbanded: the live region is the lane prefix 1..qlen and
+                # out-of-prefix pollution only drifts rightward through Hd
+                # (never back into live lanes) and is masked out of every
+                # reduction below — so M/E need no per-lane masking here,
+                # and the column-0 M is already killed by the shift fill
+                live = qmask_d
+                Mx = M
+                Ex = E
 
-            t_ins = jnp.maximum(Mx - oe_ins, 0)
-            G = jnp.where(u == 0, NEG, t_ins + e_ins * u)
-            F = _prefix_max_exclusive(G, QP) - e_ins * (u - 1)
+            t_ins = jnp.maximum(Mx - dp(oe_ins), 0)
+            G = jnp.where(ud == 0, dp(neg), t_ins + eu)
+            F = _prefix_max_exclusive(G, QP, neg) - eu + dp(e_ins)
             F = jnp.maximum(F, 0)
-            F = jnp.where(live, F, 0)
+            if opt_ext:
+                F = jnp.where(live, F, dp(0))
 
             Hn = jnp.maximum(jnp.maximum(Mx, Ex), F)
             b0 = jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0)
-            Hn = jnp.where(u == 0, b0, Hn)
+            Hn = jnp.where(ud == 0, bcast_d(b0), Hn)
 
-            En = jnp.maximum(Ex - e_del, jnp.maximum(Mx - oe_del, 0))
-            En = jnp.where(live, En, 0)
+            # En needs no masking in either mode: masked/zero M and E give
+            # max(-e, -oe, 0) = 0 at dead lanes automatically
+            En = jnp.maximum(Ex - dp(e_del),
+                             jnp.maximum(Mx - dp(oe_del), 0))
 
-            Ht = jnp.where(jnp.logical_and(live, u >= 1), Hn, -1)
-            rowmax = jnp.max(Ht, axis=1, keepdims=True)
-            mj = jnp.max(
-                jnp.where(Ht == rowmax, u, -1), axis=1, keepdims=True)
+            # one packed-key reduction yields the row max AND its column:
+            # key = (Hn + 1) << 9 | u; ties pick the largest u (the
+            # reference's mj). Values fit: Hn < 2^21 for any real read.
+            Ht32 = jnp.where(jnp.logical_and(live, ud >= 1), Hn,
+                             dp(-1)).astype(jnp.int32)
+            key = jnp.max((Ht32 + 1) * QP2 + u, axis=1, keepdims=True)
+            rowmax = key // QP2 - 1
+            mj = jnp.where(rowmax >= 0, key % QP2, -1)
 
-            h_end = jnp.max(
-                jnp.where(u == qlen, Hn, NEG), axis=1, keepdims=True)
+            He32 = jnp.where(ud == qlenf, Hn, dp(neg)).astype(jnp.int32)
+            h_end = jnp.max(He32, axis=1, keepdims=True)
             g_upd = jnp.logical_and(active, h_end >= gscore)
             if opt_ext:
                 g_upd = jnp.logical_and(g_upd, i + w_lane + 1 >= qlen)
@@ -160,14 +202,15 @@ def _make_kernel(QP, TMAX, a, b, o_del, e_del, o_ins, e_ins, w, zdrop,
                 )
             dead = jnp.logical_or(dead, i + 1 >= tlen)
 
-            H = jnp.where(active, Hn, H)
-            E = jnp.where(active, En, E)
+            actf = bcast_d(active.astype(jnp.int32))
+            H = jnp.where(actf > 0, Hn, H)
+            E = jnp.where(actf > 0, En, E)
             return (H, E, best, qle, tle, gscore, gtle, moff,
                     dead.astype(jnp.int32))
 
         z = jnp.zeros((TILE, 1), jnp.int32)
         init = (
-            H0, jnp.zeros((TILE, QP), jnp.int32),
+            H0, jnp.zeros((TILE, QP), dp),
             h0, z, z,
             jnp.full((TILE, 1), -1, jnp.int32), z, z,
             (tlen <= 0).astype(jnp.int32),
@@ -189,7 +232,8 @@ def _make_kernel(QP, TMAX, a, b, o_del, e_del, o_ins, e_ins, w, zdrop,
         _, (_, _, best, qle, tle, gscore, gtle, moff, _) = \
             jax.lax.while_loop(_cond, _body, (jnp.int32(0), init))
         out = jnp.concatenate(
-            [best, qle, tle, gscore, gtle, moff, z, z], axis=1)
+            [best.astype(jnp.int32), qle, tle, gscore.astype(jnp.int32),
+             gtle, moff, z, z], axis=1)
         out_ref[:] = out
 
     return kernel
@@ -201,8 +245,18 @@ def _extend_pallas_impl(query, target, meta, params_tuple, tile, interpret):
         params_tuple
     N, QP = query.shape
     TMAX = target.shape[1]
+    # int16 DP when every reachable score/intermediate provably fits:
+    # |values| <= a*QP + max h0 (<= a*QP) + gap terms (<= e*QP), and the
+    # NEG16 sentinel region stays clear of wraparound
+    # int16 DP would halve VPU op cost, but the target rejects 16-bit
+    # compares ("Target does not support this comparison") as well as
+    # 16-bit rotates/iotas/reductions — the dp plumbing below is kept for
+    # hardware/Mosaic versions that support it
+    use_i16 = False
+    if use_i16:
+        query = query.astype(jnp.int16)
     kernel = _make_kernel(QP, TMAX, a, b, o_del, e_del, o_ins, e_ins, w,
-                          zdrop, end_bonus, opt_ext)
+                          zdrop, end_bonus, opt_ext, use_i16)
     grid = (N // tile,)
     # trace the pallas_call with x64 OFF: the kernel is int32 throughout,
     # and Mosaic's int64 convert lowering recurses on x64 index arithmetic
