@@ -122,7 +122,13 @@ def build_occ2_host(idx: FMIndex):
         for c2 in range(4):
             start2[c1 * 4 + c2] = base
             base += total[c1 * 4 + c2]
-    return occ2, start2, int(sa1_j), sa1_pair
+    # full bi-intervals of every 2-base pattern (the 2-step forward
+    # walk's restart path): pattern (b1,b2) has k = start2[b1*4+b2],
+    # s = total[b1*4+b2], and l = the k of its reverse complement
+    d = np.arange(16)
+    rc = ((3 - (d & 3)) << 2) | (3 - (d >> 2))
+    pat2 = np.stack([start2, start2[rc], total])  # (3, 16) int64
+    return occ2, start2, pat2, int(sa1_j), sa1_pair
 
 
 @jax.tree_util.register_dataclass
@@ -146,6 +152,7 @@ class DeviceFMIndex:
     # 32-word rows per 128 BWT rows (see build_occ2_host)
     occ2_blocks: jax.Array = None   # (n2, 32) int32
     occ2_start: jax.Array = None    # (16,) int64 — start2 table
+    occ2_pat: jax.Array = None      # (3, 16) int64 — 2-mer (k, l, s)
     sa1_scalars: jax.Array = None   # (2,) int32 — (sa1_j, sa1_pair)
     sa_intv: int = field(metadata=dict(static=True), default=8)
     # static width switch: rows/positions are int64 only when the genome
@@ -173,10 +180,11 @@ class DeviceFMIndex:
         if occ2 is None:
             occ2 = idx.seq_len <= OCC2_MAX_SEQ_LEN
         if occ2:
-            o2, start2, sa1_j, sa1_pair = build_occ2_host(idx)
+            o2, start2, pat2, sa1_j, sa1_pair = build_occ2_host(idx)
             occ2_fields = dict(
                 occ2_blocks=put(o2.view(np.int32)),
                 occ2_start=put(start2),
+                occ2_pat=put(pat2),
                 sa1_scalars=put(np.asarray([sa1_j, sa1_pair], np.int32)),
                 has_occ2=True,
             )
@@ -184,6 +192,7 @@ class DeviceFMIndex:
             z = jnp.zeros((0,), jnp.int32)
             occ2_fields = dict(occ2_blocks=z.reshape(0, 32),
                                occ2_start=jnp.zeros((16,), jnp.int64),
+                               occ2_pat=jnp.zeros((3, 16), jnp.int64),
                                sa1_scalars=jnp.zeros((2,), jnp.int32),
                                has_occ2=False)
         return cls(

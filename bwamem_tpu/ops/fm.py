@@ -406,6 +406,131 @@ def backward_ext2_ks_batch(fm: DeviceFMIndex, k, s, c1, c2):
     return k2, s2, k1, s1
 
 
+def _rank4p(fm, rows, r, j, dt=_I64):
+    """All-4-code single ranks from gathered occ2 pair rows: checkpoint =
+    per-cur sums of the 16 pair counts, in-block = low-2-bit nibble match
+    chains. Only 3 of 4 codes are counted explicitly — in-block counts
+    sum to r and checkpoint sums to the 16-column total — and the three
+    popcounts ride ONE packed weighted reduction (counts <= 128 fit in a
+    byte each). Returns (P, 4) dt (+ the bogus-row add-back)."""
+    u = rows.astype(_U32)
+    pm = _nib_prefix_masks(r)
+    col = jnp.arange(32, dtype=jnp.int32)[None, :]
+    sa1_j = fm.sa1_scalars[0]
+    sa1_c = (fm.sa1_scalars[1] & 3).astype(jnp.int32)
+    packed = jnp.zeros(u.shape, _U32)
+    for c in range(3):
+        y = ~(u ^ _U32(c * 0x11111111))
+        low2 = y & (y >> 1) & _U32(0x11111111) & pm
+        packed += jax.lax.population_count(low2).astype(_U32) << _U32(8 * c)
+    psum = packed.sum(axis=1, dtype=_U32)
+    pcs = [(psum >> _U32(8 * c)).astype(jnp.int32) & 255 for c in range(3)]
+    pcs.append(r - pcs[0] - pcs[1] - pcs[2])
+    in16 = jnp.where(col < 16, u, _U32(0)).sum(axis=1, dtype=_U32)
+    bases = []
+    for c in range(3):
+        csel = (col < 16) & ((col & 3) == c)
+        bases.append(jnp.where(csel, u, _U32(0)).sum(axis=1, dtype=_U32))
+    bases.append(in16 - bases[0] - bases[1] - bases[2])
+    # the 4th code's derived totals double-count nothing, but the bogus
+    # row is EXCLUDED from all 16 checkpoint counts while r counts it —
+    # its code therefore needs +1 from checkpoint blocks after it, and
+    # the derived in-block count is already correct (nibble is real)
+    back_blk = (sa1_j.astype(j.dtype) >> _O2_SHIFT) < (j >> _O2_SHIFT)
+    outs = []
+    for c in range(4):
+        v = bases[c].astype(dt) + pcs[c].astype(dt)
+        back = (sa1_c == c) & back_blk
+        outs.append(v + back.astype(dt))
+    return jnp.stack(outs, axis=1), jnp.stack(pcs, axis=1)
+
+
+def _pair4(fm, rows, r, j, c1, pc1_inblk, dt=_I64):
+    """Pair counts (prev=c', cur=c1) for all four c' from gathered occ2
+    rows. c1: (P,) int32; pc1_inblk: in-block single count of c1 (the
+    pair in-block counts sum to it). Returns (P, 4) dt (bogus-pair
+    discounted)."""
+    u = rows.astype(_U32)
+    pm = _nib_prefix_masks(r)
+    yc = ~(u ^ (c1.astype(_U32) * _U32(0x11111111))[:, None])
+    low2 = yc & (yc >> 1) & _U32(0x11111111) & pm
+    sa1_j = fm.sa1_scalars[0].astype(j.dtype)
+    sa1_pair = fm.sa1_scalars[1]
+    in_blk = (((j >> _O2_SHIFT) == (sa1_j >> _O2_SHIFT))
+              & ((sa1_j & _O2_MASK).astype(jnp.int32) < r))
+    packed = jnp.zeros(u.shape, _U32)
+    for cp in range(3):
+        yh = ~(u ^ _U32((cp << 2) * 0x11111111))
+        all4 = low2 & (yh >> 2) & (yh >> 3)
+        packed += jax.lax.population_count(all4).astype(_U32) << _U32(8 * cp)
+    psum = packed.sum(axis=1, dtype=_U32)
+    pcs = [(psum >> _U32(8 * cp)).astype(jnp.int32) & 255
+           for cp in range(3)]
+    pcs.append(pc1_inblk - pcs[0] - pcs[1] - pcs[2])
+    outs = []
+    for cp in range(4):
+        d = (cp << 2) | c1
+        base = _col_pick(rows, d, dt)
+        bogus = (d == sa1_pair) & in_blk
+        outs.append(base + pcs[cp].astype(dt) - bogus.astype(dt))
+    return jnp.stack(outs, axis=1)
+
+
+def forward_ext2_batch(fm: DeviceFMIndex, k, l, s, b1, b2):
+    """TWO forward extensions (append b1 then b2) from ONE fused occ2
+    gather pass at rows (l, l+s) — the second sub-step's 4-way counts are
+    the pair counts (prev=c', cur=3-b1) of the SAME rows, so no dependent
+    gather is needed. Returns ((k1, l1, s1), (k2, l2, s2)), the full
+    bi-intervals after one and after both appends; each equals the
+    corresponding chain of forward_ext4_batch picks."""
+    dt = idx_dt(fm)
+    P = k.shape[0]
+    k = k.astype(dt)
+    l = l.astype(dt)
+    s = s.astype(dt)
+    c1 = 3 - jnp.clip(b1.astype(jnp.int32), 0, 3)
+    c2 = 3 - jnp.clip(b2.astype(jnp.int32), 0, 3)
+    i2 = jnp.concatenate([l, l + s])
+    j = i2 - (i2 > _prim(fm)).astype(i2.dtype)
+    rows = fm.occ2_blocks[(j >> _O2_SHIFT).astype(jnp.int32)]
+    r = (j & _O2_MASK).astype(jnp.int32)
+    c1d = jnp.concatenate([c1, c1])
+    R4, pcs_raw = _rank4p(fm, rows, r, j, dt)        # (2P, 4)
+    fourc = jnp.arange(4, dtype=jnp.int32)[None, :]
+    pc1_inblk = jnp.where(fourc == c1d[:, None], pcs_raw, 0).sum(
+        axis=1, dtype=jnp.int32)
+    P4 = _pair4(fm, rows, r, j, c1d, pc1_inblk, dt)  # (2P, 4)
+    R4lo, R4hi = R4[:P], R4[P:]
+    P4lo, P4hi = P4[:P], P4[P:]
+    d4 = R4hi - R4lo
+    pd4 = P4hi - P4lo
+
+    four = jnp.arange(4, dtype=jnp.int32)[None, :]
+    sel = lambda m, c: jnp.where(four == c[:, None], m, 0).sum(
+        axis=1, dtype=m.dtype)
+    suffsum = lambda m, c: jnp.where(four > c[:, None], m, 0).sum(
+        axis=1, dtype=m.dtype)
+
+    L2c = _L2(fm)[:4][None, :]
+    s1 = sel(d4, c1)
+    l1 = jnp.where(four == c1[:, None], L2c, 0).sum(axis=1, dtype=dt) \
+        + 1 + sel(R4lo, c1)
+    sent1 = jnp.logical_and(l <= _prim(fm), _prim(fm) < l + s)
+    k1 = k + sent1.astype(dt) + suffsum(d4, c1)
+
+    s2 = sel(pd4, c2)
+    d12 = (c2 << 2) | c1
+    l2 = _sel16(fm.occ2_start, d12, dt) + sel(P4lo, c2)
+    # sentinel membership of the intermediate interval: the one row whose
+    # previous char is the sentinel lies in [l, l+s) and carries cur c1
+    sa1_j = fm.sa1_scalars[0].astype(dt)
+    r1row = sa1_j + (sa1_j >= _prim(fm)).astype(dt)
+    sent2 = ((l <= r1row) & (r1row < l + s)
+             & ((fm.sa1_scalars[1] & 3).astype(jnp.int32) == c1))
+    k2 = k1 + sent2.astype(dt) + suffsum(pd4, c2)
+    return (k1, l1, s1), (k2, l2, s2)
+
+
 def _ssa_bits(ssa_row, off):
     """(is_sampled_bit, rank_before_row) from a padded SSA bitmap row
     [rank_before, bits_lo, bits_hi, ...]. Columns are extracted with

@@ -125,6 +125,102 @@ def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len,
     return start, k, s, emit
 
 
+def _forward_pass2(fm: DeviceFMIndex, reads, lens, min_seed_len):
+    """2-step variant of _forward_pass over the dinucleotide pair table:
+    each scan trip appends a base PAIR via ONE fused occ2 gather
+    (fm.forward_ext2_batch) and emits BOTH positions' candidates, halving
+    the serial trip chain. Restarts mid-pair re-enter through the
+    precomputed 2-mer bi-interval table (fm.occ2_pat). Emissions are
+    field-identical to _forward_pass ("shrink" mode)."""
+    B, L = reads.shape
+    T2 = (L + 2) // 2  # trips; positions covered: 0 .. 2*T2-1 >= L+1
+    NP = 2 * T2
+    reads_pad = jnp.concatenate(
+        [reads, jnp.full((B, NP - L), 4, jnp.int32)], axis=1)
+
+    four = jnp.arange(4, dtype=jnp.int32)[None, :]
+
+    def _sel4(m, c):
+        return jnp.where(four == c[:, None], m, 0).sum(axis=1, dtype=m.dtype)
+
+    dt = fmops.idx_dt(fm)
+    L2c = fmops._L2(fm)
+    L2f = jnp.broadcast_to(L2c[:4][None, :], (B, 4))
+    L2n = jnp.broadcast_to(L2c[1:5][None, :], (B, 4))
+    patk = fm.occ2_pat[0].astype(dt)
+    patl = fm.occ2_pat[1].astype(dt)
+    pats = fm.occ2_pat[2].astype(dt)
+
+    def init1(b):
+        """Bi-interval of the single base b (restart)."""
+        bc = jnp.clip(b, 0, 3)
+        ik = _sel4(L2f, bc) + 1
+        il = _sel4(L2f, 3 - bc) + 1
+        is_ = _sel4(L2n, bc) - (ik - 1)
+        return ik, il, is_
+
+    def step(carry, it):
+        k, l, s, seg = carry
+        i = 2 * it
+        b1 = reads_pad[:, i]
+        b2 = reads_pad[:, i + 1]
+        valid1 = jnp.logical_and(i < lens, b1 < 4)
+        valid2 = jnp.logical_and(i + 1 < lens, b2 < 4)
+        active = s > 0
+
+        (k1, l1, s1), (k2, l2, s2) = fmops.forward_ext2_batch(
+            fm, k, l, s, b1, b2)
+
+        # ---- sub-step A (position i) ----
+        s1v = jnp.where(valid1, s1, 0)
+        shrinkA = jnp.logical_and(active, s1v != s)
+        emitA = jnp.logical_and(shrinkA, i >= min_seed_len)
+        candA = (seg, k, s, emitA)
+        ext1 = jnp.logical_and(valid1, jnp.logical_and(active, s1 > 0))
+        restart1 = jnp.logical_and(valid1, jnp.logical_not(ext1))
+        ik1, il1, is1 = init1(b1)
+        kA = jnp.where(ext1, k1, jnp.where(restart1, ik1, 0))
+        lA = jnp.where(ext1, l1, jnp.where(restart1, il1, 0))
+        sA = jnp.where(ext1, s1, jnp.where(restart1, is1, 0))
+        segA = jnp.where(ext1, seg, i)
+
+        # ---- sub-step B (position i+1) ----
+        # three sources: pair path (ext1), 2-mer table (restart1), dead
+        d12 = jnp.clip(b1, 0, 3) * 4 + jnp.clip(b2, 0, 3)
+        sB = jnp.where(ext1, s2, jnp.where(restart1, _sel16d(pats, d12), 0))
+        kB = jnp.where(ext1, k2, jnp.where(restart1, _sel16d(patk, d12), 0))
+        lB = jnp.where(ext1, l2, jnp.where(restart1, _sel16d(patl, d12), 0))
+        activeB = sA > 0
+        sBv = jnp.where(valid2, sB, 0)
+        shrinkB = jnp.logical_and(activeB, sBv != sA)
+        emitB = jnp.logical_and(shrinkB, i + 1 >= min_seed_len)
+        candB = (segA, kA, sA, emitB)
+        ext2 = jnp.logical_and(valid2, jnp.logical_and(activeB, sB > 0))
+        restart2 = jnp.logical_and(valid2, jnp.logical_not(ext2))
+        ik2, il2, is2 = init1(b2)
+        kN = jnp.where(ext2, kB, jnp.where(restart2, ik2, 0))
+        lN = jnp.where(ext2, lB, jnp.where(restart2, il2, 0))
+        sN = jnp.where(ext2, sB, jnp.where(restart2, is2, 0))
+        segN = jnp.where(ext2, segA, i + 1)
+        return (kN, lN, sN, segN), (candA, candB)
+
+    def _sel16d(tbl, d):
+        sel = (jnp.arange(16, dtype=jnp.int32)[None, :] == d[:, None])
+        return jnp.where(sel, tbl[None, :], 0).sum(axis=1, dtype=tbl.dtype)
+
+    zi = jnp.zeros((B,), dt)
+    z32 = jnp.zeros((B,), jnp.int32)
+    _, (cA, cB) = jax.lax.scan(
+        step, (zi, zi, zi, z32), jnp.arange(T2, dtype=jnp.int32))
+    # interleave: trip t's A is position 2t, B is 2t+1
+    out = []
+    for fa, fb in zip(cA, cB):
+        x = jnp.stack([fa, fb], axis=1).reshape(NP, B)
+        out.append(jnp.swapaxes(x, 0, 1))
+    start, kk, ss, emit = out
+    return start, kk, ss, emit
+
+
 def _compact_global(fields, emit, pool_size):
     """Scatter emitted entries (flat scan order) into a flat pool.
     fields: tuple of (B, N) arrays. Returns (pooled fields, read_id, valid,
@@ -495,9 +591,14 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
     lens = lens.astype(jnp.int32)
     B, L = reads.shape
     emit_mode = "segment" if cfg.mode == "fwdmem" else "shrink"
-    start, k, s, emit = _forward_pass(fm, reads, lens, cfg.min_seed_len,
-                                      emit_mode)
-    end = jnp.broadcast_to(jnp.arange(L + 1, dtype=jnp.int32), (B, L + 1))
+    if fm.has_occ2 and emit_mode == "shrink":
+        start, k, s, emit = _forward_pass2(fm, reads, lens,
+                                           cfg.min_seed_len)
+    else:
+        start, k, s, emit = _forward_pass(fm, reads, lens,
+                                          cfg.min_seed_len, emit_mode)
+    NP = emit.shape[1]
+    end = jnp.broadcast_to(jnp.arange(NP, dtype=jnp.int32), (B, NP))
     cand_cap = B * cfg.cand_pool
     (start, end, k, s), rid, valid, c_over = _compact_global(
         (start, end, k, s), emit, cand_cap)

@@ -61,6 +61,53 @@ def test_pair_ext_matches_two_single_steps(tiny_index):
     np.testing.assert_array_equal(np.asarray(k2)[m], np.asarray(rk2)[m])
 
 
+def test_forward_ext2_matches_two_single_steps(tiny_index):
+    from bwamem_tpu.ops.fm import forward_ext4_batch, forward_ext2_batch
+
+    g, idx = tiny_index
+    fm = DeviceFMIndex.from_host(idx)
+    rng = np.random.default_rng(17)
+    ks, ls, ss, b1s, b2s = [], [], [], [], []
+    orc = FMOracle(idx)
+    for _ in range(150):
+        ln = int(rng.integers(1, 9))
+        pos = int(rng.integers(0, len(g) - ln - 2))
+        pat = g[pos: pos + ln]
+        iv = orc.set_intv(int(pat[0]))
+        for c in pat[1:]:
+            iv = orc.extend_forward(iv)[int(c)]
+        ks.append(iv.k)
+        ls.append(iv.l)
+        ss.append(iv.s)
+        b1s.append(int(g[pos + ln]))
+        b2s.append(int(g[pos + ln + 1]))
+    k = jnp.asarray(ks, jnp.int32)
+    l = jnp.asarray(ls, jnp.int32)
+    s = jnp.asarray(ss, jnp.int32)
+    b1 = jnp.asarray(b1s, jnp.int32)
+    b2 = jnp.asarray(b2s, jnp.int32)
+
+    (k1, l1, s1), (k2, l2, s2) = jax.jit(forward_ext2_batch)(
+        fm, k, l, s, b1, b2)
+    # reference: two chained single steps with per-lane picks
+    pick = lambda m, c: np.asarray(m)[np.arange(len(ks)), np.asarray(c)]
+    k4, l4, s4 = jax.jit(forward_ext4_batch)(fm, k, l, s)
+    rk1, rl1, rs1 = pick(k4, b1), pick(l4, b1), pick(s4, b1)
+    k4b, l4b, s4b = jax.jit(forward_ext4_batch)(
+        fm, jnp.asarray(rk1), jnp.asarray(rl1),
+        jnp.asarray(np.maximum(rs1, 1)))
+    rk2, rl2, rs2 = pick(k4b, b2), pick(l4b, b2), pick(s4b, b2)
+    np.testing.assert_array_equal(np.asarray(s1), rs1)
+    np.testing.assert_array_equal(np.asarray(k1), rk1)
+    np.testing.assert_array_equal(np.asarray(l1), rl1)
+    m = rs1 > 0  # second step defined only on live intermediates
+    np.testing.assert_array_equal(np.asarray(s2)[m], rs2[m])
+    np.testing.assert_array_equal(np.asarray(k2)[m & (rs2 > 0)],
+                                  rk2[m & (rs2 > 0)])
+    np.testing.assert_array_equal(np.asarray(l2)[m & (rs2 > 0)],
+                                  rl2[m & (rs2 > 0)])
+
+
 def test_sa_lookup2_all_rows(tiny_index):
     g, idx = tiny_index
     fm = DeviceFMIndex.from_host(idx)
