@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..index.device import DeviceFMIndex
 from ..ops.extend import (ExtendParams, end_choice, extend_batch_auto,
                           make_score_matrix)
-from ..ops.refgather import gather_bases
+from ..ops.refgather import gather_window_fast
 from ..ops.seeding import SeedConfig, smem_seed_batch
 
 
@@ -80,7 +80,8 @@ def device_align_step(fm: DeviceFMIndex, reads, lens,
         reads, jnp.clip(qbeg[:, None] - 1 - offs, 0, L - 1), axis=1)
     lq = jnp.where(offs < lq_len[:, None], lq, 4)
     lt_offs = jnp.arange(TL, dtype=jnp.int32)[None, :]
-    lt = gather_bases(fm, rbeg[:, None] - 1 - lt_offs)
+    # descending window [rbeg-1 .. rbeg-TL] = ascending window flipped
+    lt = gather_window_fast(fm, rbeg - TL, TL)[:, ::-1]
     lt = jnp.where(lt_offs < lt_len[:, None], lt, 4)
 
     # right extension: query suffix vs forward ref window
@@ -90,7 +91,7 @@ def device_align_step(fm: DeviceFMIndex, reads, lens,
     rq = jnp.where(offs < rq_len[:, None], rq, 4)
     rt_end_cap = 2 * fm.l_pac
     rt_len = jnp.minimum(rq_len + PAD, rt_end_cap - (rbeg + seedlen))
-    rt = gather_bases(fm, (rbeg + seedlen)[:, None] + lt_offs)
+    rt = gather_window_fast(fm, rbeg + seedlen, TL)
     rt = jnp.where(lt_offs < rt_len[:, None], rt, 4)
 
     mat = jnp.asarray(make_score_matrix(cfg.a, cfg.b))

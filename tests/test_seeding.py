@@ -76,3 +76,25 @@ def test_seeding_subsampling(tiny_index):
     q = g[300:360].copy()
     got = _run_batch(idx, [q], min_seed_len=15, max_occ=1)
     assert got[0] == oracle_seeds(orc, q, 15, 1)
+
+
+def test_gather_window_fast_matches_per_base(tiny_index):
+    import jax.numpy as jnp
+    from bwamem_tpu.index.device import DeviceFMIndex
+    from bwamem_tpu.ops.refgather import gather_bases, gather_window_fast
+
+    g, idx = tiny_index
+    fm = DeviceFMIndex.from_host(idx)
+    rng = np.random.default_rng(3)
+    L = 90
+    # random windows incl. negative starts, strand crossing, end overflow
+    starts = np.concatenate([
+        rng.integers(-20, 2 * idx.l_pac + 20, 64),
+        [int(idx.l_pac) - 5, int(idx.l_pac) - L + 3, -L + 1,
+         2 * int(idx.l_pac) - 3, 0],
+    ]).astype(np.int64)
+    s = jnp.asarray(starts)
+    want = np.asarray(gather_bases(
+        fm, s[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]))
+    got = np.asarray(gather_window_fast(fm, s, L))
+    np.testing.assert_array_equal(got, want)
