@@ -293,18 +293,32 @@ def extend_batch_pallas(query, target, qlen, tlen, h0, params, *,
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     N, QMAX = query.shape
-    if tile is None:
+
+    def auto_tile(qmax_eff, tmax):
+        if tile is not None:
+            return tile
         # fit the tile's DP state in scoped VMEM (~16 MB): ~10 live
         # (TILE, QP) int32 buffers + 2 (TILE, TMAX) buffers
-        QP_ = -(-(QMAX + 1) // 128) * 128
-        TM_ = -(-target.shape[1] // 128) * 128
+        QP_ = -(-(qmax_eff + 1) // 128) * 128
+        TM_ = -(-tmax // 128) * 128
         row_bytes = 4 * (10 * QP_ + 2 * TM_)
-        tile = 256
-        while tile > 8 and tile * row_bytes > 12 * 1024 * 1024:
-            tile //= 2
-    # sort jobs by target length so each kernel tile sees similar tlen and
-    # the per-tile dynamic trip count pays off; unsorted on the way out
-    order = jnp.argsort(tlen.astype(jnp.int32))
+        t = 256
+        while t > 8 and t * row_bytes > 12 * 1024 * 1024:
+            t //= 2
+        return t
+
+    QSMALL = 126  # largest qlen that fits a 128-lane DP row
+    bucketed = QMAX > QSMALL and N >= 512
+    # sort jobs by (qlen bucket, tlen): tiles see similar tlen so the
+    # per-tile dynamic trip count pays off, and with bucketing the
+    # narrow-query jobs run in a half-width (QP=128) kernel while their
+    # tiles in the wide call are born dead (tlen forced 0) and exit
+    # immediately — lane utilisation for short extensions roughly doubles
+    key = tlen.astype(jnp.int32)
+    if bucketed:
+        key = key + jnp.where(qlen.astype(jnp.int32) > QSMALL,
+                              jnp.int32(1 << 20), 0)
+    order = jnp.argsort(key)
     inv = jnp.argsort(order)
     query = query[order]
     target = target[order]
@@ -313,7 +327,8 @@ def extend_batch_pallas(query, target, qlen, tlen, h0, params, *,
     h0 = h0[order]
     QP = -(-(QMAX + 1) // 128) * 128
     TMAX = -(-target.shape[1] // 128) * 128
-    Np = -(-N // tile) * tile
+    tile_w = auto_tile(QMAX, TMAX)
+    Np = -(-N // tile_w) * tile_w
     qs = jnp.full((Np, QP), 4, jnp.int32)
     qs = qs.at[:N, 1 : QMAX + 1].set(query.astype(jnp.int32))
     ts = jnp.full((Np, TMAX), 4, jnp.int32)
@@ -325,7 +340,21 @@ def extend_batch_pallas(query, target, qlen, tlen, h0, params, *,
     p = params
     pt = (p.max_mat, _mismatch_from(p), p.o_del, p.e_del, p.o_ins, p.e_ins,
           p.w, p.zdrop, p.end_bonus, p.opt_ext)
-    out = _extend_pallas_impl(qs, ts, meta, pt, tile, interpret)[:N][inv]
+    if bucketed:
+        small = meta[:, 0] <= QSMALL
+        metaA = meta.at[:, 1].set(jnp.where(small, meta[:, 1], 0))
+        metaB = meta.at[:, 1].set(jnp.where(small, 0, meta[:, 1]))
+        tile_a = auto_tile(QSMALL, TMAX)
+        Npa = -(-Np // tile_a) * tile_a
+        qsA = jnp.full((Npa, 128), 4, jnp.int32)
+        qsA = qsA.at[:Np, : QSMALL + 1].set(qs[:, : QSMALL + 1])
+        tsA = jnp.full((Npa, TMAX), 4, jnp.int32).at[:Np].set(ts)
+        mA = jnp.zeros((Npa, 8), jnp.int32).at[:Np].set(metaA)
+        outA = _extend_pallas_impl(qsA, tsA, mA, pt, tile_a, interpret)[:Np]
+        outB = _extend_pallas_impl(qs, ts, metaB, pt, tile_w, interpret)
+        out = jnp.where(small[:, None], outA, outB)[:N][inv]
+    else:
+        out = _extend_pallas_impl(qs, ts, meta, pt, tile_w, interpret)[:N][inv]
     return dict(score=out[:, 0], qle=out[:, 1], tle=out[:, 2],
                 gscore=out[:, 3], gtle=out[:, 4], max_off=out[:, 5])
 

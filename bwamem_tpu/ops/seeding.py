@@ -50,9 +50,11 @@ class SeedConfig:
     cand_pool: int = 32    # candidate pool slots per read (global pool;
     #                        ~27/read measured at 1% error — the adaptive
     #                        retry in the aligner doubles on overflow)
-    seed_pool: int = 8     # expanded-seed pool slots per read (global
-    #                        pool; ~3/read typical — adaptive retry doubles
-    #                        on overflow)
+    seed_pool: int = 4     # expanded-seed pool slots per read (global
+    #                        pool; ~2/read typical at 1% error — the
+    #                        adaptive retry doubles on overflow; the SA
+    #                        walk and expansion run over B*seed_pool
+    #                        lanes, so slack directly costs walk time)
     max_occ: int = 500     # subsample SMEMs above this occurrence count
     mode: str = "smem"     # "smem" (default) | "mem" (-g: keep nested MEMs,
     #                        reference GPUSeed is_smem=0 kernels,
@@ -456,29 +458,41 @@ def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size, max_occ):
 
     t = jnp.arange(pool_size, dtype=jnp.int32)
     # slot -> candidate mapping via scatter + cummax (searchsorted costs
-    # ~log2(P) dependent gather passes; this is two passes)
+    # ~log2(P) dependent gather passes; this is two passes). Group-head
+    # slots are unique (cum_excl strictly increases when count > 0), so a
+    # plain .set scatter suffices.
     idx = jnp.arange(P, dtype=jnp.int32)
     dst = jnp.where(count > 0, cum_excl, pool_size)
     marks = jnp.zeros(pool_size + 1, jnp.int32).at[
-        jnp.clip(dst, 0, pool_size)].max(idx + 1)[:pool_size]
+        jnp.clip(dst, 0, pool_size)].set(idx + 1)[:pool_size]
     cand = jax.lax.associative_scan(jnp.maximum, marks) - 1
     cand = jnp.clip(cand, 0, P - 1)
     seed_valid = t < jnp.minimum(total, pool_size)
-    off = t - cum_excl[cand]
-    g = lambda a: a[cand]
-    rows = jnp.where(seed_valid, g(k) + off.astype(k.dtype) * g(step),
+    # ONE fused row gather serves every per-candidate field
+    tbl = jnp.stack(
+        [cum_excl.astype(k.dtype), k, step.astype(k.dtype),
+         rid.astype(k.dtype), qbeg.astype(k.dtype), qend.astype(k.dtype),
+         s.astype(k.dtype)], axis=1)
+    got = tbl[cand]
+    off = t - got[:, 0].astype(jnp.int32)
+    rows = jnp.where(seed_valid, got[:, 1] + off.astype(k.dtype) * got[:, 2],
                      k.dtype.type(0))
+    fields = {"rid": got[:, 3].astype(jnp.int32),
+              "qbeg": got[:, 4].astype(jnp.int32),
+              "qend": got[:, 5].astype(jnp.int32),
+              "s": got[:, 6]}
+    g = lambda a: a[cand]
     # NOTE: the 2-step SA walk (fmops.sa_lookup2_batch) measured slower
     # than the single-step walk on the target chip (its extra occ2-row
     # gather per trip outweighs the halved trip count at sa_intv=8), so
     # SA resolution stays single-step even when the pair table exists.
     rbeg = fmops.sa_lookup_batch(fm, rows)
     return dict(
-        read_id=jnp.where(seed_valid, g(rid), -1),
+        read_id=jnp.where(seed_valid, fields["rid"], -1),
         rbeg=jnp.where(seed_valid, rbeg, -1),
-        qbeg=jnp.where(seed_valid, g(qbeg), -1),
-        qend=jnp.where(seed_valid, g(qend), -1),
-        n_occ=jnp.where(seed_valid, g(s), 0),
+        qbeg=jnp.where(seed_valid, fields["qbeg"], -1),
+        qend=jnp.where(seed_valid, fields["qend"], -1),
+        n_occ=jnp.where(seed_valid, fields["s"], 0),
         valid=seed_valid,
         n_seeds=jnp.minimum(total, pool_size),
         overflow=total > pool_size,

@@ -44,3 +44,30 @@ def test_pallas_matches_lax(zdrop, opt_ext, w):
     for k in ("score", "qle", "tle", "gscore", "gtle", "max_off"):
         np.testing.assert_array_equal(
             np.asarray(pal_out[k]), np.asarray(lax_out[k]), err_msg=k)
+
+
+def test_bucketed_dispatch_matches_scan():
+    """qlen-bucketed dual kernel dispatch (N >= 512, QMAX > 126)."""
+    import jax.numpy as jnp
+    from bwamem_tpu.ops.extend import ExtendParams, extend_batch, make_score_matrix
+    from bwamem_tpu.ops.pallas.extend_kernel import extend_batch_pallas
+
+    rng = np.random.default_rng(11)
+    N, QMAX, TMAX = 512, 160, 64
+    query = rng.integers(0, 4, (N, QMAX)).astype(np.int8)
+    target = rng.integers(0, 4, (N, TMAX)).astype(np.int8)
+    qlen = rng.integers(0, QMAX + 1, N).astype(np.int32)
+    qlen[:10] = [0, 1, QMAX, 126, 127, 125, 128, 60, 200 % QMAX, 2]
+    tlen = rng.integers(0, TMAX + 1, N).astype(np.int32)
+    h0 = rng.integers(1, 100, N).astype(np.int32)
+    params = ExtendParams()
+    mat = jnp.asarray(make_score_matrix(1, 4))
+    want = extend_batch(jnp.asarray(query), jnp.asarray(target),
+                        jnp.asarray(qlen), jnp.asarray(tlen),
+                        jnp.asarray(h0), mat, params)
+    got = extend_batch_pallas(jnp.asarray(query), jnp.asarray(target),
+                              jnp.asarray(qlen), jnp.asarray(tlen),
+                              jnp.asarray(h0), params, interpret=True)
+    for k in ("score", "qle", "tle", "gscore", "gtle"):
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
