@@ -41,7 +41,7 @@ def main_e2e() -> None:
     batch = 8192
     g = rng.integers(0, 4, genome_len, dtype=np.uint8)
     ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
-    idx = build_index_from_codes(g, ann, sa_intv=8)
+    idx = build_index_from_codes(g, ann, sa_intv=4)
     al = MemAligner(MemOptions(), idx)
 
     def mk(seed):
@@ -89,7 +89,7 @@ def main() -> None:
 
     g = rng.integers(0, 4, genome_len, dtype=np.uint8)
     ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
-    idx = build_index_from_codes(g, ann, sa_intv=8)
+    idx = build_index_from_codes(g, ann, sa_intv=4)
     fm = DeviceFMIndex.from_host(idx)
 
     pos = rng.integers(0, genome_len - read_len, batch)

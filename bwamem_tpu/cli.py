@@ -122,7 +122,7 @@ def main(argv=None) -> int:
     pi.add_argument("fasta")
     pi.add_argument("-p", default=None, dest="prefix",
                     help="index prefix [fasta path]")
-    pi.add_argument("-r", type=int, default=8, dest="sa_intv",
+    pi.add_argument("-r", type=int, default=4, dest="sa_intv",
                     help="suffix-array sampling interval (power of 2)")
 
     for name in ("align", "gase_aln", "mem"):

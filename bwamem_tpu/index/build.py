@@ -62,7 +62,7 @@ def _amb_runs(codes: np.ndarray, offset: int) -> list[tuple[int, int]]:
 
 def build_index(
     fasta_path: str,
-    sa_intv: int = 8,
+    sa_intv: int = 4,
     rng_seed: int = 11,
 ) -> FMIndex:
     seqs = read_fasta(fasta_path)
@@ -91,7 +91,7 @@ def build_index(
 
 
 def build_index_from_codes(
-    fwd: np.ndarray, ann: Annotation, sa_intv: int = 8
+    fwd: np.ndarray, ann: Annotation, sa_intv: int = 4
 ) -> FMIndex:
     """Build from an unambiguous 0..3 coded forward genome."""
     fwd = np.asarray(fwd, dtype=np.uint8)

@@ -97,13 +97,20 @@ def device_align_step(fm: DeviceFMIndex, reads, lens,
     mat = jnp.asarray(make_score_matrix(cfg.a, cfg.b))
     h0 = jnp.maximum(seedlen * cfg.a, 1)
 
-    def run_side(q, t, ql, tl):
-        out = extend_batch_auto(q, t, ql, tl, h0, mat, cfg.ext)
-        return end_choice(out["score"], out["qle"], out["tle"],
-                          out["gscore"], out["gtle"], ql, cfg.pen_clip)
-
-    lsc, lqe, lte = run_side(lq, lt, lq_len, lt_len)
-    rsc, rqe, rte = run_side(rq, rt, rq_len, rt_len)
+    # ONE batched extension call for both sides: halves the dispatch's
+    # fixed sort/pad/launch cost vs per-side calls
+    q2 = jnp.concatenate([lq, rq])
+    t2 = jnp.concatenate([lt, rt])
+    ql2 = jnp.concatenate([lq_len, rq_len])
+    tl2 = jnp.concatenate([lt_len, rt_len])
+    h02 = jnp.concatenate([h0, h0])
+    out = extend_batch_auto(q2, t2, ql2, tl2, h02, mat, cfg.ext)
+    sc2, qe2, te2 = end_choice(out["score"], out["qle"], out["tle"],
+                               out["gscore"], out["gtle"], ql2,
+                               cfg.pen_clip)
+    lsc, rsc = sc2[:B], sc2[B:]
+    lqe, rqe = qe2[:B], qe2[B:]
+    lte, rte = te2[:B], te2[B:]
 
     two_sided = jnp.logical_and(lq_len > 0, rq_len > 0)
     score = jnp.where(
