@@ -24,7 +24,7 @@ _lib = None
 _load_failed = False
 
 _SOURCES = ["sais.cpp", "ksw.cpp", "fastx.cpp", "chain.cpp", "chain2aln.cpp",
-            "reg2aln.cpp", "dedup.cpp"]
+            "reg2aln.cpp", "dedup.cpp", "samemit.cpp"]
 
 
 def _build() -> bool:
@@ -147,6 +147,18 @@ def try_load():
             vp,
             vp, ctypes.c_int64, vp, vp,
             vp, ctypes.c_int64, vp, vp,
+        ]
+        lib.bm_finalize_se_batch.restype = ctypes.c_int
+        lib.bm_finalize_se_batch.argtypes = [
+            vp, ctypes.c_int64, vp,                     # pac, l_pac, mat
+            vp, ctypes.c_int32, vp, vp, vp, vp,         # ann/names/annos
+            vp, vp,                                     # opt_d, opt_i
+            ctypes.c_int64, ctypes.c_int64, vp,         # n, id0, reg_off
+            vp, vp, vp,                                 # qstream,q_off,q_len
+            vp, vp, vp, vp, vp, vp,                     # names/quals/comments
+            vp, ctypes.c_int32,                         # rg
+            vp, vp, vp, vp, vp, vp, vp, vp, vp, vp, vp, vp, vp,  # regs
+            vp, ctypes.c_int64, vp,                     # out
         ]
         lib.bm_ksw_global.restype = ctypes.c_int
         lib.bm_ksw_global.argtypes = [
@@ -398,3 +410,106 @@ def dedup_patch_native(lib, opt, idx, reg_off, qstream, q_off, fields):
         out_idx.ctypes.data, out_cnt.ctypes.data,
     )
     return out_idx, out_cnt
+
+
+def finalize_se_native(lib, opt, idx, names, seqs, quals, per_read_regs,
+                       n_processed=0, comments=None, rg_id=None) -> bytes:
+    """Whole SE finalization (mark-primary + selection + XA + CIGAR/NM/MD
+    + SAM text) in one native call (twin: regions.mem_mark_primary_se +
+    samgen.mem_reg2sam_batch; reference: src/bwamem.c:715-761, 1506-1775,
+    2344-2438, src/bwamem_extra.c mem_gen_alt). Returns the SAM text blob
+    ('\\n'-terminated lines, reads in input order)."""
+    B = len(seqs)
+    counts = np.fromiter((len(r) for r in per_read_regs), np.int64, B)
+    reg_off = np.zeros(B + 1, np.int64)
+    np.cumsum(counts, out=reg_off[1:])
+    NR = int(reg_off[-1])
+    rb = np.empty(NR, np.int64)
+    re_ = np.empty(NR, np.int64)
+    i32 = lambda: np.empty(NR, np.int32)
+    qb, qe, score, truesc, sub, csub, arw, seedcov, rid = (
+        i32() for _ in range(9))
+    is_alt = np.empty(NR, np.int8)
+    frac = np.empty(NR, np.float64)
+    k = 0
+    for regs in per_read_regs:
+        for r in regs:
+            rb[k] = r.rb
+            re_[k] = r.re
+            qb[k] = r.qb
+            qe[k] = r.qe
+            score[k] = r.score
+            truesc[k] = r.truesc
+            sub[k] = r.sub
+            csub[k] = r.csub
+            arw[k] = r.w
+            seedcov[k] = r.seedcov
+            rid[k] = r.rid
+            is_alt[k] = 1 if r.is_alt else 0
+            frac[k] = r.frac_rep
+            k += 1
+
+    qlens = np.fromiter((len(s) for s in seqs), np.int32, B)
+    q_off = np.zeros(B + 1, np.int64)
+    np.cumsum(qlens.astype(np.int64), out=q_off[1:])
+    qstream = (np.concatenate([np.asarray(s, np.uint8) for s in seqs])
+               if B else np.zeros(0, np.uint8))
+
+    def stream_of(strs):
+        offs = np.zeros(len(strs) + 1, np.int64)
+        bs = []
+        t = 0
+        for i, s in enumerate(strs):
+            b = s.encode() if isinstance(s, str) else (s or b"")
+            bs.append(b)
+            t += len(b)
+            offs[i + 1] = t
+        return b"".join(bs), offs
+
+    names_b, name_off = stream_of(names)
+    have_qual = any(q for q in quals)
+    if have_qual:
+        quals_b, qual_off = stream_of([q or "" for q in quals])
+    else:
+        quals_b, qual_off = b"", np.zeros(B + 1, np.int64)
+    have_cm = bool(comments) and any(c for c in comments)
+    if have_cm:
+        cm_b, com_off = stream_of([c or "" for c in comments])
+    else:
+        cm_b, com_off = b"", np.zeros(B + 1, np.int64)
+
+    ann = idx.ann
+    ann_off = np.asarray(list(ann.offsets) + [int(idx.l_pac)], np.int64)
+    rnames_b, rname_off = stream_of(ann.names)
+    annos_b, anno_off = stream_of(ann.annos if ann.annos
+                                  else [""] * len(ann.names))
+    rg_b = (rg_id or "").encode()
+
+    from .samfmt_opts import pack_opts  # lazy import (same package)
+    opt_d, opt_i = pack_opts(opt)
+    mat = np.ascontiguousarray(opt.mat, dtype=np.int8)
+
+    cap = int(qstream.size * 3 + NR * 196 + B * 256 + 4096)
+    while True:
+        out = np.empty(cap, np.uint8)
+        out_len = np.zeros(1, np.int64)
+        rc = lib.bm_finalize_se_batch(
+            idx.pac_words.ctypes.data, int(idx.l_pac), mat.ctypes.data,
+            ann_off.ctypes.data, len(ann.names), rnames_b, rname_off.ctypes.data,
+            annos_b, anno_off.ctypes.data,
+            opt_d.ctypes.data, opt_i.ctypes.data,
+            B, int(n_processed), reg_off.ctypes.data,
+            qstream.ctypes.data, q_off.ctypes.data, qlens.ctypes.data,
+            names_b, name_off.ctypes.data,
+            quals_b if have_qual else None, qual_off.ctypes.data,
+            cm_b if have_cm else None, com_off.ctypes.data,
+            rg_b if rg_b else None, len(rg_b),
+            rb.ctypes.data, re_.ctypes.data, qb.ctypes.data, qe.ctypes.data,
+            score.ctypes.data, truesc.ctypes.data, sub.ctypes.data,
+            csub.ctypes.data, arw.ctypes.data, seedcov.ctypes.data,
+            rid.ctypes.data, is_alt.ctypes.data, frac.ctypes.data,
+            out.ctypes.data, cap, out_len.ctypes.data,
+        )
+        if rc == 0:
+            return out[: int(out_len[0])].tobytes()
+        cap *= 2

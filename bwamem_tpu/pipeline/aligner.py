@@ -665,19 +665,32 @@ class MemAligner:
         return out
 
     def emit_sam_batch(self, names, seqs, quals, per_read_regs,
-                       n_processed: int = 0, comments=None) -> list[str]:
+                       n_processed: int = 0, comments=None,
+                       native: bool = True) -> list[str]:
         """worker2 equivalent for SE (reference: src/bwamem.c:2451-2460):
-        mark-primary + SAM per read, given collected regions."""
+        mark-primary + SAM per read, given collected regions. The whole
+        finalization (mark-primary + selection + XA + CIGAR/NM/MD + SAM
+        text) runs in ONE native call when the C++ library is available
+        (twin: the Python path below, kept as the differential oracle)."""
         from .samgen import mem_reg2sam_batch
 
         opt, idx = self.opt, self.idx
+        cms = comments if (comments and opt.copy_comment) else None
+        rg = getattr(opt, "rg_id", None)
+        if native:
+            from ..native import loader
+
+            lib = loader.try_load()
+            if lib is not None:
+                blob = loader.finalize_se_native(
+                    lib, opt, idx, names, seqs, quals, per_read_regs,
+                    n_processed, cms, rg)
+                return blob.decode().splitlines()
         marked = [mem_mark_primary_se(opt, per_read_regs[b],
                                       n_processed + b)[0]
                   for b in range(len(seqs))]
-        cms = comments if (comments and opt.copy_comment) else None
         return mem_reg2sam_batch(opt, idx, names, seqs, quals, marked,
-                                 comments=cms,
-                                 rg_id=getattr(opt, "rg_id", None))
+                                 comments=cms, rg_id=rg)
 
     def align_batch(self, names: list[str], seqs: list[np.ndarray],
                     quals: list[str | None] | None = None,
