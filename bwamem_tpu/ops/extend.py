@@ -228,6 +228,19 @@ def extend_batch_auto(query, target, qlen, tlen, h0, mat, params):
     return extend_batch(query, target, qlen, tlen, h0, mat, params)
 
 
+@partial(jax.jit, static_argnames=("params", "pen_clip"))
+def extend_choose_jit(query, target, qlen, tlen, h0, mat, params,
+                      pen_clip: int):
+    """extend_batch_auto + end_choice fused under ONE jit: the Pallas
+    dispatch's eager sort/pad/bucket glue otherwise costs one tunnel
+    round-trip per op on dispatch-latency-bound backends. Returns a
+    stacked (3, N) array (score, qle, tle)."""
+    out = extend_batch_auto(query, target, qlen, tlen, h0, mat, params)
+    sc, qe, te = end_choice(out["score"], out["qle"], out["tle"],
+                            out["gscore"], out["gtle"], qlen, pen_clip)
+    return jnp.stack([sc, qe, te])
+
+
 def end_choice(score, qle, tle, gscore, gtle, qlen, pen_clip):
     """Local-vs-to-query-end selection (reference: src/bwamem.c:1887-1901).
     Returns (score, qle, tle)."""

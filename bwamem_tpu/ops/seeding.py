@@ -591,6 +591,23 @@ def bowtie_seed_batch(fm: DeviceFMIndex, reads, lens, seed_len: int,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def smem_seed_batch_stacked(fm: DeviceFMIndex, reads, lens,
+                            cfg: "SeedConfig"):
+    """smem_seed_batch with the output pool pre-stacked on device: ONE
+    (6, P) array + one (2,) scalar pair, so the host fetch is a single
+    coalesced D2H with no eager stacking dispatches."""
+    out = smem_seed_batch(fm, reads, lens, cfg)
+    dt = out["rbeg"].dtype
+    pool = jnp.stack(
+        [out[k].astype(dt)
+         for k in ("read_id", "qbeg", "qend", "rbeg", "n_occ")]
+        + [out["valid"].astype(dt)])
+    head = jnp.stack([out["n_seeds"].astype(jnp.int32),
+                      out["overflow"].astype(jnp.int32)])
+    return pool, head
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
                     cfg: SeedConfig = SeedConfig()):
     """End-to-end batched seeding.

@@ -352,8 +352,10 @@ class MemAligner:
                 return sharded_seed_batch(
                     self.mesh, self.fm, jnp.asarray(reads),
                     jnp.asarray(lens), cfg)
-            return smem_seed_batch(self.fm, jnp.asarray(reads),
-                                   jnp.asarray(lens), cfg)
+            from ..ops.seeding import smem_seed_batch_stacked
+
+            return smem_seed_batch_stacked(self.fm, jnp.asarray(reads),
+                                           jnp.asarray(lens), cfg)
 
         # adaptive pool sizing: on overflow retry with doubled pools (the
         # reference aborts instead, seed_gen.cu:2037-2042; a retry costs one
@@ -361,15 +363,22 @@ class MemAligner:
         from dataclasses import replace as _dc_replace
 
         def fetch(raw):
-            """Coalesced D2H: one stacked pool transfer + one scalar pair."""
-            dt = raw["rbeg"].dtype
-            pool = np.asarray(jnp.stack(
-                [raw[k].astype(dt)
-                 for k in ("read_id", "qbeg", "qend", "rbeg", "n_occ")]
-                + [raw["valid"].astype(dt)]))
-            head = np.asarray(jnp.stack(
-                [raw["n_seeds"].astype(jnp.int32),
-                 raw["overflow"].astype(jnp.int32)]))
+            """Coalesced D2H: one stacked pool transfer + one scalar pair.
+            The smem path pre-stacks on device (smem_seed_batch_stacked);
+            other paths stack here."""
+            if isinstance(raw, tuple):
+                pool_d, head_d = raw
+            else:
+                dt = raw["rbeg"].dtype
+                pool_d = jnp.stack(
+                    [raw[k].astype(dt)
+                     for k in ("read_id", "qbeg", "qend", "rbeg", "n_occ")]
+                    + [raw["valid"].astype(dt)])
+                head_d = jnp.stack(
+                    [raw["n_seeds"].astype(jnp.int32),
+                     raw["overflow"].astype(jnp.int32)])
+            pool = np.asarray(pool_d)
+            head = np.asarray(head_d)
             return dict(read_id=pool[0], qbeg=pool[1], qend=pool[2],
                         rbeg=pool[3], n_occ=pool[4],
                         valid=pool[5].astype(bool),
@@ -585,15 +594,18 @@ class MemAligner:
                     self.mesh, jnp.asarray(Q), jnp.asarray(T),
                     jnp.asarray(ql), jnp.asarray(tl), jnp.asarray(h0),
                     jnp.asarray(opt.mat), self.ext_params)
+                sc, qe, te = end_choice(
+                    res["score"], res["qle"], res["tle"], res["gscore"],
+                    res["gtle"], jnp.asarray(ql), opt.pen_clip5)
+                stacked = jnp.stack([sc, qe, te])
             else:
-                res = extend_batch_auto(
+                from ..ops.extend import extend_choose_jit
+
+                stacked = extend_choose_jit(
                     jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql),
                     jnp.asarray(tl), jnp.asarray(h0), jnp.asarray(opt.mat),
-                    self.ext_params)
-            sc, qe, te = end_choice(res["score"], res["qle"], res["tle"],
-                                    res["gscore"], res["gtle"],
-                                    jnp.asarray(ql), opt.pen_clip5)
-            sc, qe, te = np.asarray(jnp.stack([sc, qe, te]))[:, : len(sel)]
+                    self.ext_params, int(opt.pen_clip5))
+            sc, qe, te = np.asarray(stacked)[:, : len(sel)]
             jreg = J["reg"][:nJ][sel]
             jside = J["side"][:nJ][sel]
             for side in (0, 1):
