@@ -160,6 +160,19 @@ def try_load():
             vp, vp, vp, vp, vp, vp, vp, vp, vp, vp, vp, vp, vp,  # regs
             vp, ctypes.c_int64, vp,                     # out
         ]
+        lib.bm_finalize_pe_batch.restype = ctypes.c_int
+        lib.bm_finalize_pe_batch.argtypes = [
+            vp, ctypes.c_int64, vp,                     # pac, l_pac, mat
+            vp, ctypes.c_int32, vp, vp, vp, vp,         # ann/names/annos
+            vp, vp,                                     # opt_d, opt_i
+            vp, vp,                                     # pes_i, pes_d
+            ctypes.c_int64, ctypes.c_int64, vp,         # n_pairs, id0, reg_off
+            vp, vp, vp,                                 # qstream,q_off,q_len
+            vp, vp, vp, vp, vp, vp,                     # names/quals/comments
+            vp, ctypes.c_int32,                         # rg
+            vp, vp, vp, vp, vp, vp, vp, vp, vp, vp, vp, vp, vp,  # regs
+            vp, ctypes.c_int64, vp,                     # out
+        ]
         lib.bm_ksw_global.restype = ctypes.c_int
         lib.bm_ksw_global.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
@@ -419,7 +432,78 @@ def finalize_se_native(lib, opt, idx, names, seqs, quals, per_read_regs,
     samgen.mem_reg2sam_batch; reference: src/bwamem.c:715-761, 1506-1775,
     2344-2438, src/bwamem_extra.c mem_gen_alt). Returns the SAM text blob
     ('\\n'-terminated lines, reads in input order)."""
-    B = len(seqs)
+    (reg_off, rb, re_, qb, qe, score, truesc, sub, csub, arw, seedcov,
+     rid, is_alt, frac) = _reg_arrays(per_read_regs)
+    (qstream, q_off, qlens, names_b, name_off, quals_b, qual_off,
+     cm_b, com_off) = _read_streams(seqs, names, quals, comments)
+    ann_off, rnames_b, rname_off, annos_b, anno_off = _idx_streams(idx)
+    from .samfmt_opts import pack_opts
+    opt_d, opt_i = pack_opts(opt)
+    mat = np.ascontiguousarray(opt.mat, dtype=np.int8)
+    rg_b = (rg_id or "").encode()
+
+    NR = int(reg_off[-1])
+    cap = int(qstream.size * 3 + NR * 196 + len(seqs) * 256 + 4096)
+    while True:
+        out = np.empty(cap, np.uint8)
+        out_len = np.zeros(1, np.int64)
+        rc = lib.bm_finalize_se_batch(
+            idx.pac_words.ctypes.data, int(idx.l_pac), mat.ctypes.data,
+            ann_off.ctypes.data, len(idx.ann.names), rnames_b,
+            rname_off.ctypes.data, annos_b, anno_off.ctypes.data,
+            opt_d.ctypes.data, opt_i.ctypes.data,
+            len(seqs), int(n_processed), reg_off.ctypes.data,
+            qstream.ctypes.data, q_off.ctypes.data, qlens.ctypes.data,
+            names_b, name_off.ctypes.data,
+            quals_b, qual_off.ctypes.data,
+            cm_b, com_off.ctypes.data,
+            rg_b if rg_b else None, len(rg_b),
+            rb.ctypes.data, re_.ctypes.data, qb.ctypes.data, qe.ctypes.data,
+            score.ctypes.data, truesc.ctypes.data, sub.ctypes.data,
+            csub.ctypes.data, arw.ctypes.data, seedcov.ctypes.data,
+            rid.ctypes.data, is_alt.ctypes.data, frac.ctypes.data,
+            out.ctypes.data, cap, out_len.ctypes.data,
+        )
+        if rc == 0:
+            return out[: int(out_len[0])].tobytes()
+        cap *= 2
+
+
+_idx_cache: dict = {}
+
+
+def _idx_streams(idx):
+    """Per-index marshaling cache: ann offsets (+sentinel), ref-name and
+    description byte streams, score matrix."""
+    key = id(idx)
+    hit = _idx_cache.get(key)
+    if hit is not None:
+        return hit
+    ann = idx.ann
+
+    def stream_of(strs):
+        offs = np.zeros(len(strs) + 1, np.int64)
+        t = 0
+        bs = []
+        for i, s in enumerate(strs):
+            b = s.encode() if isinstance(s, str) else (s or b"")
+            bs.append(b)
+            t += len(b)
+            offs[i + 1] = t
+        return b"".join(bs), offs
+
+    ann_off = np.asarray(list(ann.offsets) + [int(idx.l_pac)], np.int64)
+    rnames_b, rname_off = stream_of(ann.names)
+    annos_b, anno_off = stream_of(ann.annos if ann.annos
+                                  else [""] * len(ann.names))
+    out = (ann_off, rnames_b, rname_off, annos_b, anno_off)
+    _idx_cache.clear()   # one live index per process is the norm
+    _idx_cache[key] = out
+    return out
+
+
+def _reg_arrays(per_read_regs):
+    B = len(per_read_regs)
     counts = np.fromiter((len(r) for r in per_read_regs), np.int64, B)
     reg_off = np.zeros(B + 1, np.int64)
     np.cumsum(counts, out=reg_off[1:])
@@ -448,7 +532,12 @@ def finalize_se_native(lib, opt, idx, names, seqs, quals, per_read_regs,
             is_alt[k] = 1 if r.is_alt else 0
             frac[k] = r.frac_rep
             k += 1
+    return (reg_off, rb, re_, qb, qe, score, truesc, sub, csub, arw,
+            seedcov, rid, is_alt, frac)
 
+
+def _read_streams(seqs, names, quals, comments):
+    B = len(seqs)
     qlens = np.fromiter((len(s) for s in seqs), np.int32, B)
     q_off = np.zeros(B + 1, np.int64)
     np.cumsum(qlens.astype(np.int64), out=q_off[1:])
@@ -457,8 +546,8 @@ def finalize_se_native(lib, opt, idx, names, seqs, quals, per_read_regs,
 
     def stream_of(strs):
         offs = np.zeros(len(strs) + 1, np.int64)
-        bs = []
         t = 0
+        bs = []
         for i, s in enumerate(strs):
             b = s.encode() if isinstance(s, str) else (s or b"")
             bs.append(b)
@@ -468,42 +557,62 @@ def finalize_se_native(lib, opt, idx, names, seqs, quals, per_read_regs,
 
     names_b, name_off = stream_of(names)
     have_qual = any(q for q in quals)
-    if have_qual:
-        quals_b, qual_off = stream_of([q or "" for q in quals])
-    else:
-        quals_b, qual_off = b"", np.zeros(B + 1, np.int64)
+    quals_b, qual_off = (stream_of([q or "" for q in quals]) if have_qual
+                         else (b"", np.zeros(B + 1, np.int64)))
     have_cm = bool(comments) and any(c for c in comments)
-    if have_cm:
-        cm_b, com_off = stream_of([c or "" for c in comments])
-    else:
-        cm_b, com_off = b"", np.zeros(B + 1, np.int64)
+    cm_b, com_off = (stream_of([c or "" for c in comments]) if have_cm
+                     else (b"", np.zeros(B + 1, np.int64)))
+    return (qstream, q_off, qlens, names_b, name_off,
+            quals_b if have_qual else None, qual_off,
+            cm_b if have_cm else None, com_off)
 
-    ann = idx.ann
-    ann_off = np.asarray(list(ann.offsets) + [int(idx.l_pac)], np.int64)
-    rnames_b, rname_off = stream_of(ann.names)
-    annos_b, anno_off = stream_of(ann.annos if ann.annos
-                                  else [""] * len(ann.names))
-    rg_b = (rg_id or "").encode()
 
-    from .samfmt_opts import pack_opts  # lazy import (same package)
+def finalize_pe_native(lib, opt, idx, pes, names, seqs, quals, pair_regs,
+                       pair_id0=0, comments=None, rg_id=None) -> bytes:
+    """Whole PE finalization (mark-primary + pairing + selection + XA +
+    CIGAR/NM/MD + SAM text) in one native call (twin:
+    pairing.mem_sam_pe_plan/render; reference: src/bwamem_pair.c:190-397
+    mem_sam_pe). `seqs` interleaved r1,r2; pair_regs[i] = [regs0, regs1].
+    Returns the SAM text blob (read1 lines then read2 lines per pair)."""
+    per_read = []
+    for pr in pair_regs:
+        per_read.append(pr[0])
+        per_read.append(pr[1])
+    (reg_off, rb, re_, qb, qe, score, truesc, sub, csub, arw, seedcov,
+     rid, is_alt, frac) = _reg_arrays(per_read)
+    (qstream, q_off, qlens, names_b, name_off, quals_b, qual_off,
+     cm_b, com_off) = _read_streams(seqs, names, quals, comments)
+    ann_off, rnames_b, rname_off, annos_b, anno_off = _idx_streams(idx)
+    from .samfmt_opts import pack_opts
     opt_d, opt_i = pack_opts(opt)
     mat = np.ascontiguousarray(opt.mat, dtype=np.int8)
+    pes_i = np.zeros(12, np.int32)
+    pes_d = np.zeros(8, np.float64)
+    for d in range(4):
+        p = pes[d]
+        pes_i[d * 3] = 1 if p.failed else 0
+        pes_i[d * 3 + 1] = p.low
+        pes_i[d * 3 + 2] = p.high
+        pes_d[d * 2] = p.avg
+        pes_d[d * 2 + 1] = p.std
 
-    cap = int(qstream.size * 3 + NR * 196 + B * 256 + 4096)
+    NR = int(reg_off[-1])
+    cap = int(qstream.size * 3 + NR * 196 + len(seqs) * 256 + 4096)
     while True:
         out = np.empty(cap, np.uint8)
         out_len = np.zeros(1, np.int64)
-        rc = lib.bm_finalize_se_batch(
+        rc = lib.bm_finalize_pe_batch(
             idx.pac_words.ctypes.data, int(idx.l_pac), mat.ctypes.data,
-            ann_off.ctypes.data, len(ann.names), rnames_b, rname_off.ctypes.data,
-            annos_b, anno_off.ctypes.data,
+            ann_off.ctypes.data, len(idx.ann.names), rnames_b,
+            rname_off.ctypes.data, annos_b, anno_off.ctypes.data,
             opt_d.ctypes.data, opt_i.ctypes.data,
-            B, int(n_processed), reg_off.ctypes.data,
+            pes_i.ctypes.data, pes_d.ctypes.data,
+            len(pair_regs), int(pair_id0), reg_off.ctypes.data,
             qstream.ctypes.data, q_off.ctypes.data, qlens.ctypes.data,
             names_b, name_off.ctypes.data,
-            quals_b if have_qual else None, qual_off.ctypes.data,
-            cm_b if have_cm else None, com_off.ctypes.data,
-            rg_b if rg_b else None, len(rg_b),
+            quals_b, qual_off.ctypes.data,
+            cm_b, com_off.ctypes.data,
+            (rg_id or "").encode() or None, len(rg_id or ""),
             rb.ctypes.data, re_.ctypes.data, qb.ctypes.data, qe.ctypes.data,
             score.ctypes.data, truesc.ctypes.data, sub.ctypes.data,
             csub.ctypes.data, arw.ctypes.data, seedcov.ctypes.data,

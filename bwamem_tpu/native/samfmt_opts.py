@@ -4,7 +4,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..pipeline.options import (MEM_F_SOFTCLIP, MEM_F_ALL, MEM_F_NO_MULTI,
-                                MEM_F_REF_HDR)
+                                MEM_F_REF_HDR, MEM_F_NOPAIRING)
 
 
 def pack_opts(opt):
@@ -16,6 +16,8 @@ def pack_opts(opt):
         1 if (opt.flag & MEM_F_ALL) else 0,
         1 if (opt.flag & MEM_F_NO_MULTI) else 0,
         1 if (opt.flag & MEM_F_REF_HDR) else 0,
+        opt.pen_unpaired,
+        1 if (opt.flag & MEM_F_NOPAIRING) else 0,
     ], np.int32)
     opt_d = np.asarray([
         float(opt.drop_ratio), float(opt.XA_drop_ratio),

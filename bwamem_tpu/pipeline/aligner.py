@@ -763,21 +763,7 @@ class MemAligner:
         opt, idx = self.opt, self.idx
         quals = quals or [None] * len(seqs)
         pair_regs, pes = self.collect_pairs_batch(seqs, pes)
-        out_lines: list[str] = []
-        ctx = Reg2AlnCtx(opt, idx)
-        plans = []
-        for i in range(len(pair_regs)):
-            id_ = (n_processed >> 1) + i
-            plans.append(mem_sam_pe_plan(
-                opt, idx, pes, id_,
-                [names[i << 1], names[i << 1 | 1]],
-                [seqs[i << 1], seqs[i << 1 | 1]],
-                [quals[i << 1], quals[i << 1 | 1]],
-                pair_regs[i], ctx))
-        ctx.solve()
-        rg = getattr(opt, "rg_id", None)
-        for plan in plans:
-            l0, l1 = mem_sam_pe_render(opt, idx, plan, ctx, rg_id=rg)
-            out_lines.extend(l0)
-            out_lines.extend(l1)
-        return out_lines
+        from .hostpool import _emit_pe
+
+        return _emit_pe(opt, idx, names, seqs, quals, pair_regs, pes,
+                        n_processed >> 1)

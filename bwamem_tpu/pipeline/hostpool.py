@@ -24,8 +24,19 @@ _STATE = None  # (opt, idx) in workers, set pre-fork
 
 
 def _emit_se(opt, idx, names, seqs, quals, regs_lists, n_processed,
-             comments=None):
+             comments=None, native=True):
     # jax-free imports only: emit workers must never pull in jax/device code
+    cms = (comments if (comments and opt.copy_comment) else None)
+    rg = getattr(opt, "rg_id", None)
+    if native:
+        from ..native import loader
+
+        lib = loader.try_load()
+        if lib is not None:
+            blob = loader.finalize_se_native(
+                lib, opt, idx, names, seqs, quals, regs_lists,
+                n_processed, cms, rg)
+            return blob.decode().splitlines()
     from .regions import mem_mark_primary_se
     from .samgen import mem_reg2sam_batch
 
@@ -33,14 +44,23 @@ def _emit_se(opt, idx, names, seqs, quals, regs_lists, n_processed,
     for b in range(len(seqs)):
         regs, _ = mem_mark_primary_se(opt, regs_lists[b], n_processed + b)
         marked.append(regs)
-    cms = (comments if (comments and opt.copy_comment) else None)
     return mem_reg2sam_batch(opt, idx, names, seqs, quals, marked,
-                             comments=cms,
-                             rg_id=getattr(opt, "rg_id", None))
+                             comments=cms, rg_id=rg)
 
 
 def _emit_pe(opt, idx, names, seqs, quals, pair_regs, pes, pair_id0,
-             comments=None):
+             comments=None, native=True):
+    cms = (comments if (comments and opt.copy_comment) else None)
+    rg = getattr(opt, "rg_id", None)
+    if native:
+        from ..native import loader
+
+        lib = loader.try_load()
+        if lib is not None:
+            blob = loader.finalize_pe_native(
+                lib, opt, idx, pes, names, seqs, quals, pair_regs,
+                pair_id0, cms, rg)
+            return blob.decode().splitlines()
     from .pairing import Reg2AlnCtx, mem_sam_pe_plan, mem_sam_pe_render
 
     # slice-level batching: plan all pairs, ONE native reg2aln solve,
@@ -48,14 +68,12 @@ def _emit_pe(opt, idx, names, seqs, quals, pair_regs, pes, pair_id0,
     ctx = Reg2AlnCtx(opt, idx)
     plans = []
     for i in range(len(pair_regs)):
-        cm = (comments[i * 2 : i * 2 + 2]
-              if comments and opt.copy_comment else None)
+        cm = (cms[i * 2 : i * 2 + 2] if cms else None)
         plans.append(mem_sam_pe_plan(
             opt, idx, pes, pair_id0 + i,
             names[i * 2 : i * 2 + 2], seqs[i * 2 : i * 2 + 2],
             quals[i * 2 : i * 2 + 2], pair_regs[i], ctx, comments=cm))
     ctx.solve()
-    rg = getattr(opt, "rg_id", None)
     out = []
     for plan in plans:
         l0, l1 = mem_sam_pe_render(opt, idx, plan, ctx, rg_id=rg)

@@ -111,3 +111,67 @@ def test_native_finalize_unmapped_and_empty(repetitive_index):
     py = al.emit_sam_batch(names, seqs, quals, per_copy, 0, native=False)
     nat = al.emit_sam_batch(names, seqs, quals, per, 0, native=True)
     assert nat == py
+
+
+def _mk_pairs(rng, g, npairs, L=100, insert=260, err=0.02):
+    names, seqs, quals = [], [], []
+    for i in range(npairs):
+        p = int(rng.integers(0, len(g) - insert - L - 4))
+        a = g[p: p + L].copy()
+        b = (3 - g[p + insert: p + insert + L])[::-1].copy()
+        if i % 9 == 4:  # discordant pair
+            p2 = int(rng.integers(0, len(g) - L))
+            b = g[p2: p2 + L].copy()
+        if i % 13 == 6:  # one garbage end (unmapped)
+            b = rng.integers(0, 4, L).astype(np.uint8)
+        for r in (a, b):
+            e = rng.random(L) < err
+            r[e] = (r[e] + 1 + rng.integers(0, 3, e.sum())) % 4
+        names += [f"p{i}", f"p{i}"]
+        seqs += [a, b]
+        quals += ["I" * L if i % 3 else None] * 2
+    return names, seqs, quals
+
+
+@pytest.mark.parametrize("optkw", [
+    dict(),
+    dict(flag=MEM_F_ALL),
+    dict(flag=MEM_F_SOFTCLIP),
+    dict(T=1),
+])
+def test_native_finalize_pe_matches_python(repetitive_index, optkw):
+    import copy
+
+    from bwamem_tpu.native import loader
+    from bwamem_tpu.pipeline.hostpool import _emit_pe
+
+    g, idx = repetitive_index
+    opt = MemOptions(**optkw)
+    al = MemAligner(opt, idx)
+    rng = np.random.default_rng(77)
+    names, seqs, quals = _mk_pairs(rng, g, 30)
+    pair_regs, pes = al.collect_pairs_batch(seqs)
+    pr_copy = [[list(p[0]), list(p[1])] for p in pair_regs]
+    py = _emit_pe(opt, idx, names, seqs, quals, pr_copy, pes, 5,
+                  native=False)
+    nat = _emit_pe(opt, idx, names, seqs, quals, pair_regs, pes, 5,
+                   native=True)
+    assert nat == py
+
+
+def test_native_finalize_pe_nopairing(repetitive_index):
+    from bwamem_tpu.pipeline.options import MEM_F_NOPAIRING
+    from bwamem_tpu.pipeline.hostpool import _emit_pe
+
+    g, idx = repetitive_index
+    opt = MemOptions(flag=MEM_F_NOPAIRING)
+    al = MemAligner(opt, idx)
+    rng = np.random.default_rng(78)
+    names, seqs, quals = _mk_pairs(rng, g, 16)
+    pair_regs, pes = al.collect_pairs_batch(seqs)
+    pr_copy = [[list(p[0]), list(p[1])] for p in pair_regs]
+    py = _emit_pe(opt, idx, names, seqs, quals, pr_copy, pes, 0,
+                  native=False)
+    nat = _emit_pe(opt, idx, names, seqs, quals, pair_regs, pes, 0,
+                   native=True)
+    assert nat == py
