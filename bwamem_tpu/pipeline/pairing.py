@@ -154,6 +154,20 @@ class _SWJob:
     l_ms: int
     rid: int
     is_alt: bool
+    r: int = -1          # orientation (for deferred eligibility tests)
+
+
+def _matesw_skip(pes: list[PEStat], l_pac: int, a: AlnReg,
+                 ma: list[AlnReg]) -> list[bool]:
+    """Orientation skip flags of mem_matesw (reference:
+    src/bwamem_pair.c:122-133). Monotone in `ma`: adding hits can only
+    turn a flag on — the fused rescue relies on this."""
+    skip = [p.failed for p in pes]
+    for m in ma:
+        r, dist = mem_infer_dir(l_pac, a.rb, m.rb)
+        if pes[r].low <= dist <= pes[r].high:
+            skip[r] = True
+    return skip
 
 
 def _matesw_build(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
@@ -163,11 +177,7 @@ def _matesw_build(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
     src/bwamem_pair.c:122-155): returns the SW jobs to run (<= 4)."""
     l_pac = idx.l_pac
     l_ms = len(ms)
-    skip = [p.failed for p in pes]
-    for m in ma:
-        r, dist = mem_infer_dir(l_pac, a.rb, m.rb)
-        if pes[r].low <= dist <= pes[r].high:
-            skip[r] = True
+    skip = _matesw_skip(pes, l_pac, a, ma)
     if all(skip):
         return []
     jobs: list[_SWJob] = []
@@ -195,7 +205,7 @@ def _matesw_build(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
             np.where(ms < 4, 3 - ms, 4)[::-1].astype(ms.dtype)
         jobs.append(_SWJob(seq=seq, ref=ref.astype(np.int32), rb=rb,
                            is_rev=is_rev, l_ms=l_ms, rid=rid,
-                           is_alt=a.is_alt))
+                           is_alt=a.is_alt, r=r))
     return jobs
 
 
@@ -272,11 +282,16 @@ def mem_pe_rescue_batch(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
                  if r.score >= ai[0].score - opt.pen_unpaired] if ai else []
             both.append(c[: opt.max_matesw])
         cand.append(both)
-    n_sw = 0
+    # FUSED rescue: the per-round skip test is monotone in the mate's
+    # hit list, so building every round's jobs against the PRE-rescue
+    # state yields an exact superset; ONE device launch serves all
+    # rounds, and per-round eligibility is re-evaluated at apply time
+    # against the live state (bit-identical to the sequential rounds,
+    # which cost one dispatch+transfer round-trip each).
+    rounds: list[tuple[int, int, int, list[_SWJob]]] = []  # (i, j, pi, jobs)
     for i in (0, 1):
         jmax = max((len(c[i]) for c in cand), default=0)
         for j in range(jmax):
-            calls: list[tuple[int, list[_SWJob]]] = []
             for pi in range(n_pairs):
                 if j >= len(cand[pi][i]):
                     continue
@@ -284,20 +299,27 @@ def mem_pe_rescue_batch(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
                                      pair_seqs[pi][1 - i],
                                      pair_regs[pi][1 - i])
                 if jobs:
-                    calls.append((pi, jobs))
-            if not calls:
-                continue
-            flat = [jb for _, jobs in calls for jb in jobs]
-            results = _run_sw_jobs(opt, flat)
-            n_sw += len(flat)
-            k = 0
-            for pi, jobs in calls:
-                ma = pair_regs[pi][1 - i]
-                for jb in jobs:
-                    _matesw_apply(opt, idx.l_pac, jb, results[k], ma)
-                    k += 1
-                pair_regs[pi][1 - i] = mem_sort_dedup_patch(
-                    opt, idx, None, ma, patch=False)
+                    rounds.append((i, j, pi, jobs))
+    flat = [jb for (_i, _j, _pi, jobs) in rounds for jb in jobs]
+    if not flat:
+        return 0
+    results = _run_sw_jobs(opt, flat)
+    n_sw = 0
+    k = 0
+    for (i, j, pi, jobs) in rounds:
+        a = cand[pi][i][j]
+        ma = pair_regs[pi][1 - i]
+        skip = _matesw_skip(pes, idx.l_pac, a, ma)
+        applied = False
+        for jb in jobs:
+            if not skip[jb.r]:
+                _matesw_apply(opt, idx.l_pac, jb, results[k], ma)
+                n_sw += 1
+                applied = True
+            k += 1
+        if applied:
+            pair_regs[pi][1 - i] = mem_sort_dedup_patch(
+                opt, idx, None, ma, patch=False)
     return n_sw
 
 
