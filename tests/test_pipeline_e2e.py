@@ -122,6 +122,7 @@ def test_fastmap_output_format(tmp_path, capsys=None):
     """fastmap subcommand emits the reference's SQ/EM block format
     (reference: src/fastmap.c main_fastmap): SQ name len, then one EM
     line per SMEM with qb, qe, n_occ and up to max hits chrom:+-pos."""
+    import os
     import subprocess
     import sys
 
@@ -141,10 +142,13 @@ def test_fastmap_output_format(tmp_path, capsys=None):
     s = "".join("ACGT"[c] for c in g[p:p + 120])
     fq = tmp_path / "q.fq"
     fq.write_text(f"@q0\n{s}\n+\n{'I' * 120}\n")
+    # Force the child onto the CPU backend so it never contends with the
+    # parent for the single real TPU chip (see tests/test_cli_io.py).
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": "/root/repo"}
     out = subprocess.run(
         [sys.executable, "-m", "bwamem_tpu", "fastmap",
          str(pfx), str(fq)],
-        capture_output=True, text=True, cwd="/root/repo")
+        capture_output=True, text=True, cwd="/root/repo", env=env)
     assert out.returncode == 0, out.stderr[-500:]
     lines = [ln for ln in out.stdout.splitlines() if ln]
     assert lines[0].startswith("SQ\tq0\t120")
