@@ -101,6 +101,10 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-f", default=None, dest="timing_file",
                    help="append a timing TSV row to this file")
     p.add_argument("-o", default=None, dest="output")
+    p.add_argument("--no-reseed", action="store_true", dest="no_reseed",
+                   help="disable vanilla bwa's 2nd/3rd seeding rounds "
+                        "(split re-seed + LAST-like), restoring the "
+                        "fork's round-1-only GPUSeed behavior")
     p.add_argument("--vanilla", action="store_true",
                    help="vanilla bwa-mem defaults (w=100, zdrop=100)")
     p.add_argument("--seed-cands", type=int, default=48,
@@ -110,6 +114,15 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
 
 
 def main(argv=None) -> int:
+    # Honor JAX_PLATFORMS even when a preloaded device plugin (e.g. the
+    # axon TPU tunnel, registered from a .pth hook before this code runs)
+    # would otherwise override it: the env var alone loses to plugin
+    # registration, but jax.config.update wins.
+    import os
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     argv = list(sys.argv[1:] if argv is None else argv)
     ap = argparse.ArgumentParser(
         prog="bwamem-tpu",
@@ -320,6 +333,7 @@ def cmd_align(args) -> int:
     opt.seed_type = args.seed_type
     opt.seed_intv = args.seed_intv
     opt.re_seed = args.re_seed
+    opt.full_reseed = not args.no_reseed
     if args.all_alignments:
         opt.flag |= MEM_F_ALL
     if args.mark_short_split:
@@ -372,7 +386,11 @@ def cmd_align(args) -> int:
     host_pool = HostPool(opt, idx, args.n_threads)
     seed_cfg = SeedConfig(min_seed_len=opt.min_seed_len,
                           cand_pool=args.seed_cands,
-                          seed_pool=args.seed_cap, max_occ=opt.max_occ)
+                          seed_pool=args.seed_cap, max_occ=opt.max_occ,
+                          reseed=opt.full_reseed,
+                          split_factor=opt.split_factor,
+                          split_width=opt.split_width,
+                          max_mem_intv=opt.max_mem_intv)
     mesh = None
     if args.n_chips != 1:
         import jax

@@ -60,6 +60,19 @@ class SeedConfig:
     #                        reference GPUSeed is_smem=0 kernels,
     #                        seed_gen.cu:758-812) | "fwdmem" (-u 3:
     #                        forward-only MEMs, src/bwt.c:719 bwt_fwd_mem)
+    # vanilla bwa's 2nd/3rd seeding rounds (bwa_index/bwamem.c:114-162;
+    # the fork gates them off by default, src/bwamem.c:140 re_seed=0, but
+    # the golden-SAM oracle methodology runs vanilla, which always
+    # re-seeds — without these rounds the second-best locus at a diverged
+    # repeat copy is never discovered and MAPQ/XS/XA diverge).
+    reseed: bool = False   # run rounds 2+3 (smem mode only)
+    split_factor: float = 1.5
+    split_width: int = 10
+    max_mem_intv: int = 20
+    r2_pool: int = 4       # round-2 walk lanes per read (global pool)
+    r2_emit: int = 8       # per-lane forward-candidate slots
+    r2_cand: int = 8       # round-2 backward candidate slots per read
+    r3_pool: int = 8       # round-3 seed slots per read
 
 
 def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len,
@@ -249,8 +262,15 @@ def _compact_global(fields, emit, pool_size):
     return pooled, rid, valid, overflow
 
 
-def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid):
+def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
+                   floor=None, group=None):
     """Extend each pooled candidate maximally to the left. Flat (P,).
+
+    floor: optional (P,) minimum interval size to keep extending
+    (bwt_smem1a's min_intv — extension keeps s >= floor; default 1).
+    group: optional (P,) segment key for the contained-walker early kill
+    (defaults to rid; round-2 re-seed lanes pass their lane id so lanes
+    of the same read never cross-kill).
 
     Contained-walker early kill (the reference's warp-shuffle dedup,
     seed_gen.cu:993-1066): when two candidates of the same read and same
@@ -262,6 +282,8 @@ def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid):
     """
     B, L = reads.shape
     reads_flat = reads.reshape(-1)
+    floor = jnp.ones_like(s) if floor is None else floor.astype(s.dtype)
+    group = rid if group is None else group
 
     ext = lambda k_, s_, c_: fmops.backward_ext_ks_batch(fm, k_, s_, c_)
 
@@ -296,16 +318,16 @@ def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid):
             kq = jnp.where(can, kk, 0)
             sq = jnp.where(can, ss, 1)
             nk, ns = ext(kq, sq, jnp.where(can, jnp.clip(base, 0, 3), 0))
-            ok = jnp.logical_and(can, ns >= 1)
+            ok = jnp.logical_and(can, ns >= floor)
             qb = jnp.where(ok, j, qb)
             kk = jnp.where(ok, nk, kk)
             ss = jnp.where(ok, ns, ss)
             done = jnp.logical_not(ok)
-            # early kill: same read + same current qb + same interval as
+            # early kill: same group + same current qb + same interval as
             # the next (longer-ending) live candidate => contained
             nxt = lambda a: jnp.concatenate([a[1:], a[-1:]])
-            same = (jnp.concatenate([rid[1:], jnp.full((1,), -1, rid.dtype)])
-                    == rid)
+            same = (jnp.concatenate(
+                [group[1:], jnp.full((1,), -1, group.dtype)]) == group)
             same &= nxt(qb) == qb
             same &= nxt(ss) == ss
             same &= nxt(kk) == kk
@@ -329,7 +351,8 @@ def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid):
     return qb, kk, ss
 
 
-def _backward_pass2(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid):
+def _backward_pass2(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
+                    floor=None, group=None):
     """2-step variant of _backward_pass over the dinucleotide occ2 table:
     each trip prepends a base PAIR with one fused row-gather pass (half
     the serial pass chain of the per-base walk); the pair query's same
@@ -340,6 +363,8 @@ def _backward_pass2(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid):
     strictly-below suffix-min test against their surviving neighbour."""
     B, L = reads.shape
     reads_flat = reads.reshape(-1)
+    floor = jnp.ones_like(s) if floor is None else floor.astype(s.dtype)
+    group = rid if group is None else group
 
     FT2 = 9  # pair trips in the no-cond phase (covers 18 bases; p100
     #          single-step walk = 17 on 1%-error reads)
@@ -376,8 +401,8 @@ def _backward_pass2(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid):
             k2, s2, k1, s1 = fmops.backward_ext2_ks_batch(
                 fm, kq, sq, jnp.where(can2, jnp.clip(c1, 0, 3), 0),
                 jnp.where(can1, jnp.clip(c2, 0, 3), 0))
-            ok2 = can2 & (s2 >= 1)
-            ok1 = jnp.logical_not(ok2) & can1 & (s1 >= 1)
+            ok2 = can2 & (s2 >= floor)
+            ok1 = jnp.logical_not(ok2) & can1 & (s1 >= floor)
             qb = jnp.where(ok2, qb - 2, jnp.where(ok1, qb - 1, qb))
             kk = jnp.where(ok2, k2, jnp.where(ok1, k1, kk))
             ss = jnp.where(ok2, s2, jnp.where(ok1, s1, ss))
@@ -387,8 +412,8 @@ def _backward_pass2(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid):
             # early kill: contained candidate converged with its longer
             # neighbour (same as _backward_pass)
             nxt = lambda a: jnp.concatenate([a[1:], a[-1:]])
-            same = (jnp.concatenate([rid[1:], jnp.full((1,), -1, rid.dtype)])
-                    == rid)
+            same = (jnp.concatenate(
+                [group[1:], jnp.full((1,), -1, group.dtype)]) == group)
             same &= nxt(qb) == qb
             same &= nxt(ss) == ss
             same &= nxt(kk) == kk
@@ -444,6 +469,155 @@ def _dup_filter(qbeg, rid, s, valid, qend, min_seed_len):
     dup = (nxt_rid == rid) & (nxt_qb == qbeg) & (nxt_s == s)
     keep = jnp.logical_and(valid, jnp.logical_not(dup))
     return jnp.logical_and(keep, (qend - qbeg) >= min_seed_len)
+
+
+def _sel4m(m, c):
+    """m: (P, 4), c: (P,) in 0..3 -> m[i, c[i]] without a gather."""
+    four = jnp.arange(4, dtype=jnp.int32)[None, :]
+    return jnp.where(four == c[:, None], m, 0).sum(axis=1, dtype=m.dtype)
+
+
+def _init_single(fm, base):
+    """Bi-interval of a single base code per lane (bwt_set_intv)."""
+    bc = jnp.clip(base, 0, 3)
+    P = base.shape[0]
+    L2c = fmops._L2(fm)
+    L2f = jnp.broadcast_to(L2c[:4][None, :], (P, 4))
+    L2n = jnp.broadcast_to(L2c[1:5][None, :], (P, 4))
+    k = _sel4m(L2f, bc) + 1
+    l = _sel4m(L2f, 3 - bc) + 1
+    s = _sel4m(L2n, bc) - (k - 1)
+    return k, l, s
+
+
+def _compact_flat(fields, emit, cap):
+    """1-D _compact_global: compact flat emissions into a pool of `cap`."""
+    P = emit.shape[0]
+    dst = jnp.cumsum(emit.astype(jnp.int32), dtype=jnp.int32) - 1
+    ok = jnp.logical_and(emit, dst < cap)
+    dst_safe = jnp.where(ok, dst, cap)
+    src = jnp.zeros((cap + 1,), jnp.int32).at[dst_safe].set(
+        jnp.arange(P, dtype=jnp.int32))[:cap]
+    n = jnp.minimum(dst[-1] + 1, cap)
+    valid = jnp.arange(cap, dtype=jnp.int32) < n
+    pooled = tuple(jnp.where(valid, f[src], 0) for f in fields)
+    overflow = dst[-1] + 1 > cap
+    return pooled, valid, overflow
+
+
+def _seed_strategy_pass(fm, reads, lens, min_len: int, max_intv: int):
+    """Vanilla round-3 LAST-like seeding as one forward lax.scan
+    (bwt_seed_strategy1 under the mem_collect_intv restart loop,
+    reference tree: bwa_index/bwt.c:434-455, bwa_index/bwamem.c:144-158).
+
+    Per read a single walk from x: the first position where the extended
+    interval drops below max_intv with match length > min_len emits ONE
+    seed [x, i+1) and restarts at i+1. N bases restart without emitting;
+    a dead interval keeps walking until the length gate fires, emitting
+    an empty seed the caller filters with s > 0 (the scalar code's exact
+    restart arithmetic — later seeds depend on it).
+
+    Returns (x, k, s, emit) planes of shape (B, L); column i's seed ends
+    at i + 1."""
+    B, L = reads.shape
+    dt = fmops.idx_dt(fm)
+
+    def step(carry, i):
+        x, k, l, s = carry
+        b = reads[:, i]
+        bc = jnp.clip(b, 0, 3)
+        validb = jnp.logical_and(i < lens, b < 4)
+        walking = jnp.logical_and(validb, x < i)
+        k4, l4, s4 = fmops.forward_ext4_batch(fm, k, l, s)
+        kn = _sel4m(k4, bc)
+        ln = _sel4m(l4, bc)
+        sn = _sel4m(s4, bc)
+        emit = walking & (sn < max_intv) & (i - x >= min_len)
+        cand = (x, kn, sn, emit)
+        is_start = jnp.logical_and(validb, x == i)
+        ik, il, is_ = _init_single(fm, b)
+        cont = walking & jnp.logical_not(emit)
+        k2 = jnp.where(cont, kn, jnp.where(is_start, ik, 0))
+        l2 = jnp.where(cont, ln, jnp.where(is_start, il, 0))
+        s2 = jnp.where(cont, sn, jnp.where(is_start, is_, 0))
+        x2 = jnp.where(jnp.logical_or(jnp.logical_not(validb), emit),
+                       i + 1, x)
+        return (x2, k2, l2, s2), cand
+
+    z = jnp.zeros((B,), dt)
+    _, cands = jax.lax.scan(
+        step, (jnp.zeros((B,), jnp.int32), z, z, z),
+        jnp.arange(L, dtype=jnp.int32))
+    return tuple(jnp.swapaxes(c, 0, 1) for c in cands)
+
+
+def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
+                    min_seed_len: int, E: int):
+    """Round-2 split re-seed forward walks (vanilla bwt_smem1a's forward
+    loop with min_intv = parent occ + 1 from the parent SMEM's midpoint,
+    reference tree: bwa_index/bwamem.c:133-141, bwa_index/bwt.c:381-394).
+
+    One lane per qualifying parent SMEM. A while_loop with all-dead early
+    exit (floors are >= 2, so walks die in tens of steps, not L); each
+    trip appends one base and records a candidate (k/s before the step,
+    end = current position) into the lane's next free slot whenever the
+    interval size changes — including the end-of-walk push at read end,
+    N bases and below-floor death, exactly the scalar push rules.
+
+    Returns (kb, sb, eb, filled, overflow): (R, E) candidate slot arrays
+    in (lane, end)-ascending order."""
+    R = lrid.shape[0]
+    B, L = reads.shape
+    reads_flat = reads.reshape(-1)
+    dt = fmops.idx_dt(fm)
+    lens_l = lens[lrid]
+    b0 = jnp.where(lvalid,
+                   reads_flat[jnp.clip(lrid * L + lx, 0, B * L - 1)], 4)
+    k0, l0, s0 = _init_single(fm, b0)
+    alive0 = lvalid & (b0 < 4) & (lx < lens_l)
+    colsE = jnp.arange(E, dtype=jnp.int32)[None, :]
+    lfloor = lfloor.astype(dt)
+
+    def cond(st):
+        j, _, _, _, alive = st[:5]
+        return jnp.logical_and(jnp.any(alive), j <= L)
+
+    def body(st):
+        j, k, l, s, alive, cnt, kb, sb, eb, ovf = st
+        i = lx + j
+        inb = i < lens_l
+        b = jnp.where(
+            inb,
+            reads_flat[jnp.clip(lrid * L + jnp.minimum(i, L - 1),
+                                0, B * L - 1)], 4)
+        validb = inb & (b < 4)
+        k4, l4, s4 = fmops.forward_ext4_batch(fm, k, l, s)
+        bc = jnp.clip(b, 0, 3)
+        kn = _sel4m(k4, bc)
+        ln = _sel4m(l4, bc)
+        sn = jnp.where(validb & alive, _sel4m(s4, bc), 0)
+        emit = alive & (sn != s) & (i >= min_seed_len)
+        can = emit & (cnt < E)
+        colm = (colsE == cnt[:, None]) & can[:, None]
+        kb = jnp.where(colm, k[:, None], kb)
+        sb = jnp.where(colm, s[:, None], sb)
+        eb = jnp.where(colm, i[:, None], eb)
+        ovf = jnp.logical_or(ovf, jnp.any(emit & (cnt >= E)))
+        cnt = cnt + emit.astype(jnp.int32)
+        alive2 = alive & validb & (sn >= lfloor)
+        k = jnp.where(alive2, kn, k)
+        l = jnp.where(alive2, ln, l)
+        s = jnp.where(alive2, sn, s)
+        return j + 1, k, l, s, alive2, cnt, kb, sb, eb, ovf
+
+    st = (jnp.int32(1), k0, l0, s0, alive0,
+          jnp.zeros((R,), jnp.int32),
+          jnp.zeros((R, E), dt), jnp.zeros((R, E), dt),
+          jnp.zeros((R, E), jnp.int32), jnp.asarray(False))
+    st = jax.lax.while_loop(cond, body, st)
+    _, _, _, _, _, cnt, kb, sb, eb, ovf = st
+    filled = colsE < jnp.minimum(cnt, E)[:, None]
+    return kb, sb, eb, filled, ovf
 
 
 def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size, max_occ):
@@ -646,7 +820,69 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         else:
             keep = _containment_filter(qbeg, end, rid, valid,
                                        cfg.min_seed_len)
+    over = c_over
+    if cfg.reseed and cfg.mode == "smem":
+        # vanilla bwa's rounds 2+3 (bwa_index/bwamem.c:129-159); the
+        # merged interval list is re-sorted to vanilla's (qbeg, qend)
+        # introsort order so chain insertion order matches exactly.
+        dt = fmops.idx_dt(fm)
+        parts = []
+        # ---- round 2: split re-seed of long low-occ SMEMs ----
+        split_len = int(cfg.min_seed_len * cfg.split_factor + 0.499)
+        qualify = keep & (end - qbeg >= split_len) & (s <= cfg.split_width)
+        lane_cap = B * cfg.r2_pool
+        (lrid, lx, lfloor), lvalid, l_over = _compact_flat(
+            (rid, (qbeg + end) >> 1, (s + 1).astype(dt)), qualify, lane_cap)
+        kb, sb, eb, filled, f_over = _reseed_forward(
+            fm, reads, lens, lrid, lx, lfloor, lvalid, cfg.min_seed_len,
+            cfg.r2_emit)
+        E = cfg.r2_emit
+        flat = lambda a: jnp.broadcast_to(a[:, None], (lane_cap, E)
+                                          ).reshape(-1)
+        lane_ids = flat(jnp.arange(lane_cap, dtype=jnp.int32))
+        cand2_cap = B * cfg.r2_cand
+        (rid2, lane2, x2, floor2, k2, s2, end2), v2, c2_over = _compact_flat(
+            (flat(lrid), lane_ids, flat(lx), flat(lfloor),
+             kb.reshape(-1), sb.reshape(-1), eb.reshape(-1)),
+            filled.reshape(-1), cand2_cap)
+        bw2 = _backward_pass2 if fm.has_occ2 else _backward_pass
+        qb2, k2e, s2e = bw2(fm, reads, rid2, x2, k2, s2, v2,
+                            floor=floor2, group=lane2)
+        keep2 = _containment_filter(qb2, end2, lane2, v2, cfg.min_seed_len)
+        parts.append((rid2, qb2, end2, k2e, s2e, keep2))
+        over = over | l_over | f_over | c2_over
+        # ---- round 3: LAST-like forward seeds ----
+        if cfg.max_mem_intv > 0:
+            x3p, k3p, s3p, emit3 = _seed_strategy_pass(
+                fm, reads, lens, cfg.min_seed_len, cfg.max_mem_intv)
+            L3 = emit3.shape[1]
+            rid3_p = jnp.broadcast_to(
+                jnp.arange(B, dtype=jnp.int32)[:, None], (B, L3))
+            end3_p = jnp.broadcast_to(
+                jnp.arange(L3, dtype=jnp.int32)[None, :] + 1, (B, L3))
+            (rid3, qb3, end3, k3, s3), v3, c3_over = _compact_flat(
+                (rid3_p.reshape(-1), x3p.reshape(-1), end3_p.reshape(-1),
+                 k3p.reshape(-1), s3p.reshape(-1)),
+                emit3.reshape(-1), B * cfg.r3_pool)
+            parts.append((rid3, qb3, end3, k3, s3, v3 & (s3 > 0)))
+            over = over | c3_over
+        # ---- merge + vanilla (qbeg, qend) interval sort ----
+        cols = list(zip((rid, qbeg, end, k.astype(dt), s.astype(dt), keep),
+                        *parts))
+        rid_m, qb_m, end_m, k_m, s_m, keep_m = (
+            jnp.concatenate([c.astype(cols[i][0].dtype) for c in cols[i]])
+            for i in range(6))
+        span = jnp.int64(L + 2)
+        key = jnp.where(
+            keep_m,
+            (rid_m.astype(jnp.int64) * span
+             + jnp.clip(qb_m, 0, L + 1).astype(jnp.int64)) * span
+            + jnp.clip(end_m, 0, L + 1).astype(jnp.int64),
+            jnp.int64(1) << 62)
+        perm = jnp.argsort(key)
+        rid, qbeg, end, k, s, keep = (
+            a[perm] for a in (rid_m, qb_m, end_m, k_m, s_m, keep_m))
     out = _expand_occurrences(
         fm, rid, qbeg, end, k, s, keep, B * cfg.seed_pool, cfg.max_occ)
-    out["overflow"] = jnp.logical_or(out["overflow"], c_over)
+    out["overflow"] = jnp.logical_or(out["overflow"], over)
     return out

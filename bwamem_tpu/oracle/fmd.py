@@ -190,3 +190,58 @@ class FMOracle:
                 x += 1
         out.sort(key=lambda m: (m.start, m.end))
         return out
+
+    def seed_strategy1(self, q: np.ndarray, x: int, min_len: int,
+                       max_intv: int):
+        """LAST-like forward seed (vanilla bwa bwt_seed_strategy1,
+        reference tree: bwa_index/bwt.c:434-455): walk forward from x;
+        the first time the interval drops below max_intv with match
+        length > min_len, emit ONE seed [x, i+1) and stop.
+        Returns (next_x, BiInterval | None) — None when the emitted
+        interval is empty or the walk hit an N / the read end."""
+        n = len(q)
+        if q[x] >= 4:
+            return x + 1, None
+        ik = self.set_intv(int(q[x]))
+        for i in range(x + 1, n):
+            if q[i] >= 4:
+                return i + 1, None
+            ok = self.extend_forward(ik)[int(q[i])]
+            if ok.s < max_intv and i - x >= min_len:
+                m = BiInterval(ok.k, ok.l, ok.s, x, i + 1)
+                return i + 1, (m if m.s > 0 else None)
+            ik = ok
+        return n, None
+
+    def collect_intv_vanilla(self, q: np.ndarray, min_seed_len: int = 19,
+                             split_factor: float = 1.5,
+                             split_width: int = 10,
+                             max_mem_intv: int = 20) -> list[BiInterval]:
+        """Vanilla bwa's full 3-round mem_collect_intv (reference tree:
+        bwa_index/bwamem.c:114-162): round 1 SMEMs, round 2 split re-seed
+        of long low-occ SMEMs from their midpoint at min_intv = occ+1,
+        round 3 LAST-like forward seeds below max_mem_intv occurrences.
+        Result sorted by (start, end); duplicates are kept, as vanilla
+        keeps them (chain containment absorbs the extra seeds)."""
+        q = np.asarray(q)
+        split_len = int(min_seed_len * split_factor + 0.499)
+        out = self.collect_smems(q, min_seed_len)
+        # round 2
+        for p in list(out):
+            if p.end - p.start < split_len or p.s > split_width:
+                continue
+            _, mems = self.smem1(q, (p.start + p.end) >> 1, p.s + 1)
+            out.extend(m for m in mems if m.end - m.start >= min_seed_len)
+        # round 3
+        if max_mem_intv > 0:
+            x = 0
+            while x < len(q):
+                if q[x] < 4:
+                    x, m = self.seed_strategy1(q, x, min_seed_len,
+                                               max_mem_intv)
+                    if m is not None:
+                        out.append(m)
+                else:
+                    x += 1
+        out.sort(key=lambda m: (m.start, m.end))
+        return out

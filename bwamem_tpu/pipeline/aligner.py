@@ -301,7 +301,9 @@ class MemAligner:
         # for minutes on tunneled backends — absorb it once at startup
         _ = np.asarray(self.fm.L2[:1].astype(jnp.int32) + jnp.int32(0))
         self.seed_cfg = seed_cfg or SeedConfig(
-            min_seed_len=opt.min_seed_len, max_occ=opt.max_occ)
+            min_seed_len=opt.min_seed_len, max_occ=opt.max_occ,
+            reseed=opt.full_reseed, split_factor=opt.split_factor,
+            split_width=opt.split_width, max_mem_intv=opt.max_mem_intv)
         self.ext_params = ExtendParams(
             o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
             e_ins=opt.e_ins, w=opt.w, zdrop=opt.zdrop,
@@ -392,7 +394,11 @@ class MemAligner:
             self.seed_cfg = _dc_replace(
                 self.seed_cfg,
                 cand_pool=self.seed_cfg.cand_pool * 2,
-                seed_pool=self.seed_cfg.seed_pool * 2)
+                seed_pool=self.seed_cfg.seed_pool * 2,
+                r2_pool=self.seed_cfg.r2_pool * 2,
+                r2_emit=self.seed_cfg.r2_emit * 2,
+                r2_cand=self.seed_cfg.r2_cand * 2,
+                r3_pool=self.seed_cfg.r3_pool * 2)
             print(f"[bwamem-tpu] seed pool overflow; retrying with "
                   f"cand_pool={self.seed_cfg.cand_pool}, "
                   f"seed_pool={self.seed_cfg.seed_pool}", file=sys.stderr)

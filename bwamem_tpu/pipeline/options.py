@@ -73,6 +73,16 @@ class MemOptions:
     #                            (fork default, src/bwamem.c:137)
     re_seed: bool = False      # -g: all-MEM seeding (fork: GPUSeed is_smem=0,
     #                            src/fastmap.c:442)
+    max_mem_intv: int = 20     # round-3 LAST-like seeding threshold
+    #                            (vanilla bwa_index/bwamem.c:62; the fork
+    #                            carries the field but its GPU seeding
+    #                            never runs the round)
+    full_reseed: bool = True   # vanilla seeding rounds 2+3 (split re-seed
+    #                            + LAST-like; bwa_index/bwamem.c:129-159).
+    #                            Default ON to match the golden-SAM oracle;
+    #                            --no-reseed restores the fork's
+    #                            round-1-only GPUSeed behavior
+    #                            (src/bwamem.c:140 re_seed=0)
     dp_type: int = 0           # -e: extension algorithm selector (fork,
     #                            src/bwamem.h:70; informational here — all
     #                            values use the batched device ksw path)

@@ -36,12 +36,19 @@ def test_smem_parity_at_scale(ecoli):
             r[int(rng.integers(0, 100))] = (r[int(rng.integers(0, 100))]
                                             + 1) % 4
         seqs.append(r)
-    from test_seeding import oracle_seeds
-
     got = al.seed_batch(seqs)
     for b, seq in enumerate(seqs):
-        want = oracle_seeds(orc, seq, min_seed_len=19, max_occ=500)
-        want_set = {(qb, qe, rb) for qb, qe, rb, _ in want}
+        # the aligner defaults to the vanilla 3-round collector
+        # (full_reseed; rounds 2+3 of bwa_index/bwamem.c:114-162)
+        mems = orc.collect_intv_vanilla(seq, min_seed_len=19)
+        want_set = set()
+        for m in mems:
+            step = m.s // 500 if m.s > 500 else 1
+            j = count = 0
+            while j < m.s and count < 500:
+                want_set.add((m.start, m.end, orc.sa_lookup(m.k + j)))
+                j += step
+                count += 1
         got_set = {(qb, qe, rb) for qb, qe, rb, _ in got[b]}
         assert got_set == want_set, b
 

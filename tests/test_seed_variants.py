@@ -114,11 +114,13 @@ def test_fwdmem_segments(env):
 
 
 def test_mem_mode_keeps_nested(env):
-    """-g: nested MEMs survive; SMEM mode returns only maximal ones."""
+    """-g: nested MEMs survive; SMEM mode returns only maximal ones.
+    Compared against round-1-only SMEMs (full_reseed=False): the fork's
+    -g mode replaces, not augments, its round-1 GPUSeed collection."""
     g, idx = env
     p = 3000
     read = g[p : p + 60].astype(np.uint8)
-    al1 = MemAligner(MemOptions(), idx)
+    al1 = MemAligner(MemOptions(full_reseed=False), idx)
     smems = al1.seed_batch([read])[0]
     al2 = MemAligner(MemOptions(re_seed=True), idx)
     mems = al2.seed_batch([read])[0]
