@@ -38,9 +38,16 @@ _jax.config.update("jax_enable_x64", True)
 # shape-bucketed, so the cache converges after a few runs).
 import os as _os
 
+# The dir is keyed by hostname: CPU AOT executables embed host CPU
+# features, and a cache written on one machine SIGILLs/segfaults when
+# loaded on another (observed with a container image that shipped a
+# pre-populated cache).
+import platform as _platform
+
 _cache_dir = _os.environ.get(
     "BWAMEM_TPU_CACHE",
-    _os.path.join(_os.path.expanduser("~"), ".cache", "bwamem_tpu", "xla"))
+    _os.path.join(_os.path.expanduser("~"), ".cache", "bwamem_tpu",
+                  f"xla-{_platform.node()}"))
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

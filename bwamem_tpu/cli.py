@@ -23,6 +23,18 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
                    help="host worker threads")
     p.add_argument("--n-chips", type=int, default=1, dest="n_chips",
                    help="data-parallel device count (0 = all available)")
+    p.add_argument("--n-hosts", type=int, default=1, dest="n_hosts",
+                   help="multi-host world size: each host process aligns "
+                        "a contiguous record range onto its local chips "
+                        "and writes an ordered SAM shard; host 0 merges "
+                        "(parallel/multihost.py)")
+    p.add_argument("--host-id", type=int, default=None, dest="host_id",
+                   help="this process's rank in 0..n_hosts-1")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port "
+                        "(optional; control plane only)")
+    p.add_argument("--keep-shards", action="store_true",
+                   help="keep per-host SAM shards after the merge")
     p.add_argument("-k", type=int, default=None, dest="min_seed_len")
     p.add_argument("-w", type=int, default=300, dest="band_width")
     p.add_argument("-A", type=int, default=None, dest="match")
@@ -152,6 +164,14 @@ def main(argv=None) -> int:
                     help="max occurrences to list per SMEM")
 
     args = ap.parse_args(argv)
+
+    # jax.distributed must come before ANY backend touch — and importing
+    # most bwamem_tpu modules initializes the backend (module-level
+    # device constants), so the join happens here, pre-dispatch.
+    if getattr(args, "coordinator", None) and getattr(args, "n_hosts", 1) > 1:
+        from .parallel.multihost import init_distributed
+
+        init_distributed(args.coordinator, args.n_hosts, args.host_id)
 
     try:
         if args.cmd == "index":
@@ -378,6 +398,21 @@ def cmd_align(args) -> int:
                 rg_id = f[3:]
     opt.rg_id = rg_id  # per-record RG:Z tag (reference: src/bwamem.c:1674)
 
+    shard = None
+    if args.n_hosts > 1:
+        from .parallel import multihost as mh
+
+        if args.host_id is None or not 0 <= args.host_id < args.n_hosts:
+            sys.exit("[bwamem-tpu] --n-hosts requires --host-id in "
+                     "0..n_hosts-1")
+        if args.output is None:
+            sys.exit("[bwamem-tpu] multi-host mode requires -o (shards "
+                     "live next to the output on the shared filesystem)")
+        if args.reads == "-" or args.mates == "-":
+            sys.exit("[bwamem-tpu] stdin input cannot be range-sharded "
+                     "across hosts")
+        shard = mh.HostShard(rank=args.host_id, world=args.n_hosts)
+
     idx = FMIndex.load(args.index_prefix + ".bmt")
     # fork the host worker pool BEFORE any JAX/device initialization
     # (kt_for/worker2 equivalent; see pipeline/hostpool.py)
@@ -419,19 +454,33 @@ def cmd_align(args) -> int:
     else:
         records = read_fastx(args.reads)
 
-    out = open(args.output, "w") if args.output else sys.stdout
+    if shard is not None:
+        from .parallel import multihost as mh
+
+        n_rec = mh.count_records(args.reads)
+        if args.mates is not None:
+            n_rec *= 2
+        lo, hi = mh.record_range(n_rec, shard.rank, shard.world,
+                                 granularity=2 if paired else 1)
+        records = mh.take_range(records, lo, hi)
+        print(f"[bwamem-tpu] host {shard.rank}/{shard.world}: records "
+              f"[{lo}, {hi}) of {n_rec}", file=sys.stderr)
+        out = open(mh.shard_path(args.output, shard.rank), "w")
+    else:
+        out = open(args.output, "w") if args.output else sys.stdout
     timings = Timings()
     cmdline = "bwamem-tpu " + " ".join(sys.argv[1:])
-    for line in _sam_header(idx, args.rg_line, cmdline):
-        out.write(line + "\n")
-    if args.header_insert:  # -H (reference: src/bwa.c:425-466)
-        if args.header_insert.startswith("@"):
-            out.write(args.header_insert.replace("\\t", "\t") + "\n")
-        else:
-            with open(args.header_insert) as hf:
-                for hl in hf:
-                    if hl.strip():
-                        out.write(hl.rstrip("\n") + "\n")
+    if shard is None or shard.is_primary:  # header once, in shard 0
+        for line in _sam_header(idx, args.rg_line, cmdline):
+            out.write(line + "\n")
+        if args.header_insert:  # -H (reference: src/bwa.c:425-466)
+            if args.header_insert.startswith("@"):
+                out.write(args.header_insert.replace("\\t", "\t") + "\n")
+            else:
+                with open(args.header_insert) as hf:
+                    for hl in hf:
+                        if hl.strip():
+                            out.write(hl.rstrip("\n") + "\n")
     try:
         n = run_pipeline(records, aligner,
                          opt.chunk_size * max(args.n_threads, 1), out,
@@ -456,6 +505,15 @@ def cmd_align(args) -> int:
                            n_reads_total=n)
     if out is not sys.stdout:
         out.close()
+    if shard is not None:
+        from .parallel import multihost as mh
+
+        mh.mark_done(args.output, shard.rank)
+        if shard.is_primary:
+            mh.merge_shards(args.output, shard.world,
+                            keep_shards=args.keep_shards)
+            print(f"[bwamem-tpu] merged {shard.world} shards -> "
+                  f"{args.output}", file=sys.stderr)
     return 0
 
 

@@ -6,8 +6,11 @@ the reference has NO distributed backend) with the TPU-native layout:
   * the FMD index is REPLICATED per chip (P() specs — human-scale occ+SA
     fit in HBM),
   * read batches are SHARDED over the 'data' mesh axis,
-  * per-shard alignment records are ALLGATHERED over ICI so every host can
-    emit its ordered SAM slice (range-based sharding keeps input order).
+  * per-shard results stay SHARD-RESIDENT (P(axis) out_specs reassemble
+    them in range order at the jit boundary) — emit consumes per-shard
+    slices, so no O(global) allgather rides ICI; only scalar counters are
+    psum'd. Multi-HOST scale-out is a separate layer (multihost.py):
+    hosts own disjoint read ranges, so nothing crosses DCN.
 
 Work stealing (reference: src/kthread.c:59-85) has no analog here: equal
 read counts per shard give static balance; length bucketing upstream
@@ -27,7 +30,11 @@ from ..models.mem import AlignStepConfig, device_align_step
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
-    devs = jax.devices()[: n_devices or len(jax.devices())]
+    """Per-host data-parallel mesh. Uses LOCAL devices: under
+    jax.distributed each host aligns its own read range on its own chips
+    (see parallel/multihost.py) — no cross-host collectives sit on the
+    data path, so the mesh never spans hosts."""
+    devs = jax.local_devices()[: n_devices or len(jax.local_devices())]
     return Mesh(np.array(devs), (axis,))
 
 
@@ -89,7 +96,7 @@ def sharded_seed_batch(mesh: Mesh, fm: DeviceFMIndex, reads, lens, cfg,
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(fm_specs, P(axis), P(axis)),
-             out_specs=P(),
+             out_specs=(P(axis), P()),
              check_vma=False)
     def step(fm_, reads_, lens_):
         out = smem_seed_batch(fm_, reads_, lens_, cfg)
@@ -98,14 +105,20 @@ def sharded_seed_batch(mesh: Mesh, fm: DeviceFMIndex, reads, lens, cfg,
         out["read_id"] = jnp.where(
             out["read_id"] >= 0, out["read_id"] + shard * b_loc,
             out["read_id"])
-        gat = lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True)
-        out = {k: (gat(v) if v.ndim else v) for k, v in out.items()}
-        out["n_seeds"] = jax.lax.psum(out["n_seeds"], axis)
-        out["overflow"] = jax.lax.psum(
-            out["overflow"].astype(jnp.int32), axis) > 0
-        return out
+        # pools stay SHARD-RESIDENT (out_specs P(axis) concatenates the
+        # per-shard slices in axis order — read_id stays globally sorted,
+        # consumers select on `valid`); only the two scalars ride a psum.
+        # The previous all_gather here was O(global pool) ICI traffic per
+        # chip per step — the wrong shape for a pod slice.
+        n_seeds = jax.lax.psum(out.pop("n_seeds"), axis)
+        overflow = jax.lax.psum(
+            out.pop("overflow").astype(jnp.int32), axis) > 0
+        return out, (n_seeds, overflow)
 
-    return jax.jit(step)(fm, reads, lens)
+    out, (n_seeds, overflow) = jax.jit(step)(fm, reads, lens)
+    out["n_seeds"] = n_seeds
+    out["overflow"] = overflow
+    return out
 
 
 def sharded_extend_batch(mesh: Mesh, query, target, qlen, tlen, h0, mat,
@@ -116,12 +129,11 @@ def sharded_extend_batch(mesh: Mesh, query, target, qlen, tlen, h0, mat,
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
-             out_specs=P(),
+             out_specs=P(axis),
              check_vma=False)
     def step(q, t, ql, tl, h, m):
-        out = extend_batch_auto(q, t, ql, tl, h, m, params)
-        gat = lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True)
-        return {k: gat(v) for k, v in out.items()}
+        # outputs stay shard-resident; P(axis) reassembles job order
+        return extend_batch_auto(q, t, ql, tl, h, m, params)
 
     return jax.jit(step)(query, target, qlen, tlen, h0, mat)
 
