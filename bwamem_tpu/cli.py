@@ -154,6 +154,18 @@ def main(argv=None) -> int:
         pa = sub.add_parser(name, help="align reads (single-end or paired)")
         _add_align_args(pa)
 
+    pg = sub.add_parser(
+        "ingest",
+        help="convert a reference-format index (bwa index two-pass "
+             "output: .ann/.amb/.pac/.bwt/.sa) to the native .bmt format")
+    pg.add_argument("ref_prefix")
+    pg.add_argument("-p", default=None, dest="prefix",
+                    help="output prefix [ref_prefix]")
+    pg.add_argument("-r", type=int, default=4, dest="sa_intv",
+                    help="suffix-array sampling interval (power of 2)")
+    pg.add_argument("--no-verify", action="store_true",
+                    help="skip the P.sa cross-check during the SA walk")
+
     pf = sub.add_parser("fastmap",
                         help="dump SMEMs per read (reference: main_fastmap)")
     pf.add_argument("index_prefix")
@@ -176,6 +188,8 @@ def main(argv=None) -> int:
     try:
         if args.cmd == "index":
             return cmd_index(args)
+        if args.cmd == "ingest":
+            return cmd_ingest(args)
         if args.cmd == "fastmap":
             return cmd_fastmap(args)
         return cmd_align(args)
@@ -197,6 +211,23 @@ def cmd_index(args) -> int:
     print(
         f"[bwamem-tpu] indexed {idx.l_pac} bp "
         f"({len(idx.ann.names)} sequences) in "
+        f"{time.perf_counter() - t0:.1f}s -> {prefix}.bmt.npz",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from .index.ingest import load_reference_index
+
+    t0 = time.perf_counter()
+    idx = load_reference_index(args.ref_prefix, sa_intv=args.sa_intv,
+                               verify=not args.no_verify)
+    prefix = args.prefix or args.ref_prefix
+    idx.save(prefix + ".bmt")
+    print(
+        f"[bwamem-tpu] ingested {idx.l_pac} bp "
+        f"({len(idx.ann.names)} sequences) from {args.ref_prefix}.* in "
         f"{time.perf_counter() - t0:.1f}s -> {prefix}.bmt.npz",
         file=sys.stderr,
     )

@@ -133,6 +133,11 @@ def build_index_from_codes(
     # harmless because queries never exceed seq_len.
     cum = np.zeros((n_blocks, 4), dtype=np.int64)
     cum[1:] = np.cumsum(per_block, axis=0)[:-1]
+    # keep the final partial block's padding (code 0) out of the terminal
+    # row: store true totals there, as the reference's trailing occ entry
+    # does (bwa_index/bwtindex.c:186-188) — the row is only ever queried
+    # when seq_len is a block multiple, in which case it already is
+    cum[-1] = counts
     occ_blocks = np.empty((n_blocks, 8), dtype=np.uint32)
     occ_blocks[:, :4] = cum.astype(np.uint32)
     occ_blocks[:, 4:] = pack_2bit(Bp).reshape(n_blocks, 4)
