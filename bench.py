@@ -1,17 +1,19 @@
-"""Benchmark: device alignment throughput (seeding + extension) per chip.
+"""Benchmark. Headline (default): END-TO-END aligner throughput — the
+full BWA-parity pipeline (seeding + chaining + extension + dedup +
+mark-primary + SAM emit) per chip. `--device` measures the device-only
+fused seed+extend step (the two stages the reference offloads to GPU).
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Measures the fused device alignment step (the two stages the reference
-offloads to GPU: GPUSeed seeding + GASAL2 extension) on an E. coli-scale
-random genome with 150 bp reads at 1% substitution error.
+Measured on an E. coli-scale random genome with 150 bp reads at 1%
+substitution error.
 
 vs_baseline: BASELINE.json publishes no absolute numbers; the reference
 README's single-thread end-to-end speedup is 6.8-8.7x over bwa-mem on a
 2080 Ti. We normalize against 50,000 reads/s per chip, a 2080 Ti-class
-seed+extend throughput estimate for this read profile (so 1.0 ~= GPU
-parity per chip).
+throughput estimate for this read profile (so 1.0 ~= GPU parity per
+chip), for BOTH metrics — the e2e number is the one that counts.
 """
 from __future__ import annotations
 
@@ -135,7 +137,7 @@ def main() -> None:
 if __name__ == "__main__":
     import sys
 
-    if "--e2e" in sys.argv:
-        main_e2e()
-    else:
+    if "--device" in sys.argv:
         main()
+    else:  # e2e is the headline (also reachable explicitly via --e2e)
+        main_e2e()

@@ -27,6 +27,8 @@ arithmetically instead.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -299,6 +301,42 @@ def set_intv(fm: DeviceFMIndex, c):
     l = L2[3 - c] + 1
     s = L2[c + 1] - L2[c]
     return k, l, s
+
+
+@partial(jax.jit, static_argnames=("K",))
+def kmer_intv_table(fm: DeviceFMIndex, K: int = 8):
+    """(4^K, 3) table of bi-intervals (k, l, s) for every K-mer; code =
+    c_0*4^(K-1) + ... + c_{K-1} with c_0 the leftmost base. Built in K-1
+    batched forward-extension rounds, so every entry is bit-identical to
+    stepping the walk base by base.
+
+    The idea is the reference's pre-computed seed-interval table
+    (reference: src/GPUSeed/seed_gen.cu:1169-1205
+    pre_calc_seed_intervals_gpu, vestigial there; SURVEY §2.4 flags it as
+    worth keeping): a fresh walk can skip its first K dependent rank
+    gathers with one table-row gather. Only sound for walks with no
+    emissions in the first K steps — see DESIGN.md §seeding; used by the
+    fixed-length bowtie seed modes (-u 2/4)."""
+    L2 = _L2(fm)
+    k = L2[:4] + 1
+    l = L2[jnp.array([3, 2, 1, 0])] + 1
+    s = L2[1:5] - L2[:4]
+    for _ in range(K - 1):
+        k4, l4, s4 = forward_ext4_batch(fm, k, l, s)
+        k, l, s = k4.reshape(-1), l4.reshape(-1), s4.reshape(-1)
+    return jnp.stack([k, l, s], axis=1)
+
+
+_KMER_TABLE_CACHE: dict = {}
+
+
+def get_kmer_table(fm: DeviceFMIndex, K: int = 8):
+    """Process-lifetime cache of kmer_intv_table per device index."""
+    key = (id(fm.occ_blocks), K)
+    tab = _KMER_TABLE_CACHE.get(key)
+    if tab is None:
+        tab = _KMER_TABLE_CACHE[key] = kmer_intv_table(fm, K)
+    return tab
 
 
 def _match_bits(w, pat):

@@ -675,10 +675,10 @@ def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size, max_occ):
 
 @partial(jax.jit,
          static_argnames=("seed_len", "stride", "inexact", "seed_pool",
-                          "max_occ"))
+                          "max_occ", "ktab_k"))
 def bowtie_seed_batch(fm: DeviceFMIndex, reads, lens, seed_len: int,
                       stride: int, inexact: bool, seed_pool: int = 24,
-                      max_occ: int = 500):
+                      max_occ: int = 500, ktab=None, ktab_k: int = 0):
     """Fixed-length exact (or <=1-mismatch) seeds at a start stride — the
     -u 2 / -u 4 seed types (reference: src/bwt.c:593-624 bwt_bowtie_seed,
     :627-718 bwt_bowtie_seed_inexact; dispatch src/bwamem.c:242-255 with
@@ -720,13 +720,31 @@ def bowtie_seed_batch(fm: DeviceFMIndex, reads, lens, seed_len: int,
         return jnp.where(ct[None, :] == t, alt,
                          jnp.broadcast_to(rb[:, None], (NL, C)))
 
-    rb0 = base_at(0)
-    ch0 = chosen_base(rb0, 0)
-    L2c = fmops._L2(fm)
-    k = L2c[ch0] + 1
-    l = L2c[3 - ch0] + 1
-    s = L2c[ch0 + 1] - L2c[ch0]
-    alive = (lane_ok & (rb0 < 4))[:, None] & (s >= 1)
+    if ktab is not None and 1 < ktab_k < seed_len:
+        # jump the first K steps with one table-row gather (precomputed
+        # K-mer bi-intervals, fmops.kmer_intv_table): exact here because
+        # fixed-length seeds emit nothing before the final interval.
+        # Every candidate (incl. mismatch branches inside the prefix)
+        # looks up its own chosen-base code.
+        code = jnp.zeros((NL, C), jnp.int32)
+        ok0 = lane_ok[:, None]
+        for t in range(ktab_k):
+            rb = base_at(t)
+            ok0 = ok0 & (rb < 4)[:, None]
+            code = code * 4 + jnp.clip(chosen_base(rb, t), 0, 3)
+        row = ktab[code.reshape(-1)].reshape(NL, C, 3)
+        k, l, s = row[..., 0], row[..., 1], row[..., 2]
+        alive = ok0 & (s >= 1)
+        t_start = ktab_k
+    else:
+        rb0 = base_at(0)
+        ch0 = chosen_base(rb0, 0)
+        L2c = fmops._L2(fm)
+        k = L2c[ch0] + 1
+        l = L2c[3 - ch0] + 1
+        s = L2c[ch0 + 1] - L2c[ch0]
+        alive = (lane_ok & (rb0 < 4))[:, None] & (s >= 1)
+        t_start = 1
 
     def step(carry, t):
         k, l, s, alive = carry
@@ -749,7 +767,8 @@ def bowtie_seed_batch(fm: DeviceFMIndex, reads, lens, seed_len: int,
         return (k, l, s, alive), None
 
     (k, l, s, alive), _ = jax.lax.scan(
-        step, (k, l, s, alive), jnp.arange(1, seed_len, dtype=jnp.int32))
+        step, (k, l, s, alive),
+        jnp.arange(t_start, seed_len, dtype=jnp.int32))
 
     # priority: exact first (reference returns before touching the stack),
     # else latest mismatch position, then highest alternate base (LIFO)

@@ -335,14 +335,19 @@ class MemAligner:
 
         def launch(cfg):
             if opt.seed_type in (2, 4):
+                from ..ops import fm as fmops
                 from ..ops.seeding import bowtie_seed_batch
 
+                ktab_k = 8 if opt.min_seed_len > 8 else 0
+                ktab = (fmops.get_kmer_table(self.fm, ktab_k)
+                        if ktab_k else None)
                 return bowtie_seed_batch(
                     self.fm, jnp.asarray(reads), jnp.asarray(lens),
                     seed_len=opt.min_seed_len,
                     stride=opt.seed_intv or opt.min_seed_len,
                     inexact=(opt.seed_type == 4),
-                    seed_pool=cfg.seed_pool, max_occ=cfg.max_occ)
+                    seed_pool=cfg.seed_pool, max_occ=cfg.max_occ,
+                    ktab=ktab, ktab_k=ktab_k)
             mode = ("fwdmem" if opt.seed_type == 3
                     else "mem" if opt.re_seed else "smem")
             if cfg.mode != mode:
@@ -403,9 +408,34 @@ class MemAligner:
                   f"cand_pool={self.seed_cfg.cand_pool}, "
                   f"seed_pool={self.seed_cfg.seed_pool}", file=sys.stderr)
         if bool(out["overflow"]):
+            # spill path: pools are at their per-read cap and STILL
+            # overflow. The pool is GLOBAL (B * cap slots shared across
+            # the batch), so residual overflow means a few repeat-dense
+            # hog reads ate everyone's share — halving the batch isolates
+            # the hogs, and the batch-bucket floor (bucket_count >= 16)
+            # hands a lone read a 16x pool share at the recursion base.
+            # The reference ABORTS here (seed_gen.cu:2037-2042); dropping
+            # seeds silently is not acceptable either (unmapped tails).
+            if len(seqs) > 1:
+                import sys
+                mid = len(seqs) // 2
+                print(f"[bwamem-tpu] seed pool at cap; splitting batch "
+                      f"{len(seqs)} -> {mid}+{len(seqs) - mid}",
+                      file=sys.stderr)
+                lo = self.seed_batch_arrays(seqs[:mid])
+                hi = self.seed_batch_arrays(seqs[mid:])
+                bounds = np.concatenate(
+                    [lo["bounds"][:-1], lo["bounds"][-1] + hi["bounds"]])
+                return dict(
+                    qbeg=np.concatenate([lo["qbeg"], hi["qbeg"]]),
+                    qend=np.concatenate([lo["qend"], hi["qend"]]),
+                    rbeg=np.concatenate([lo["rbeg"], hi["rbeg"]]),
+                    n_occ=np.concatenate([lo["n_occ"], hi["n_occ"]]),
+                    bounds=bounds.astype(np.int64))
             import sys
-            print("[bwamem-tpu] warning: seed pool overflow at max size; "
-                  "some seeds dropped", file=sys.stderr)
+            print("[bwamem-tpu] warning: single read exceeds the device "
+                  "seed-pool cap; its seed list is truncated",
+                  file=sys.stderr)
         self.stats["n_seeds"] += int(out["n_seeds"])
         v = out["valid"].astype(bool)
         rid = out["read_id"][v]

@@ -101,9 +101,15 @@ class MemOptions:
     @property
     def mapQ_coef_fac(self) -> float:
         # cached (hot in per-record mapQ; invalidated if mapQ_coef_len set)
+        # TRUNCATED to int: bwa declares `int mapQ_coef_fac` and assigns
+        # log(mapQ_coef_len) into it (reference: src/bwamem.h:61,
+        # src/bwamem.c:134-135) — so the default factor is 3, not
+        # log(50)=3.912. MAPQs are ~60% of what the float formula gives;
+        # verified against the in-tree bwa binary (tools/concordance.py).
         cached = self.__dict__.get("_mqf_cache")
         if cached is None or cached[0] != self.mapQ_coef_len:
-            cached = (self.mapQ_coef_len, math.log(self.mapQ_coef_len))
+            cached = (self.mapQ_coef_len,
+                      float(int(math.log(self.mapQ_coef_len))))
             self.__dict__["_mqf_cache"] = cached
         return cached[1]
 

@@ -58,7 +58,9 @@ def test_se_concordance(world):
     # rounds (split re-seed + LAST-like): without them the second-best
     # locus at a diverged repeat copy is never discovered and XS stays 0.
     # 88.6% round-1-only -> raised as re-seeding lands.
-    assert rep["mapq_within_5"] >= 85.0, rep["mapq_delta"]
+    # 99%+ since the int-truncated mapQ_coef_fac port (bwa stores
+    # log(50) into an int field, src/bwamem.h:61 — the factor is 3)
+    assert rep["mapq_within_5"] >= 98.0, rep["mapq_delta"]
 
 
 def test_pe_concordance(world):

@@ -187,3 +187,26 @@ def test_longread_1kb_extension_vmem(petest_idx=None):
     assert len(lines) >= 4
     mapped = [ln for ln in lines if int(ln.split("\t")[1]) & 0x4 == 0]
     assert len(mapped) >= 4
+
+
+def test_seed_pool_spill_no_drops(env):
+    """Overflow at the pool cap splits the batch instead of dropping
+    seeds (the reference aborts, seed_gen.cu:2037-2042). cand_pool is
+    pinned at the adaptive-retry cap so the very first launch takes the
+    spill path; results must equal an ample-pool run exactly."""
+    from bwamem_tpu.ops.seeding import SeedConfig
+
+    g, idx = env
+    rng = np.random.default_rng(5)
+    reads = []
+    for _ in range(32):
+        p = int(rng.integers(0, 20000 - 80))
+        reads.append(g[p:p + 80].copy())
+    ample = MemAligner(MemOptions(), idx)
+    want = ample.seed_batch(reads)
+    tight = MemAligner(
+        MemOptions(), idx,
+        seed_cfg=SeedConfig(min_seed_len=19, max_occ=500, cand_pool=4096,
+                            seed_pool=1, reseed=True))
+    got = tight.seed_batch(reads)
+    assert got == want

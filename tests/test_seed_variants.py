@@ -153,3 +153,36 @@ def test_seed_variants_end_to_end(env):
                  if not int(prim[f"v{i}"][1]) & 4
                  and abs(int(prim[f"v{i}"][3]) - 1 - truth[i]) <= 5)
         assert ok >= 18, (st, ok)
+
+
+def test_bowtie_kmer_table_start_identical(env):
+    """The precomputed 8-mer interval-table jumpstart (fmops
+    kmer_intv_table; reference idea: seed_gen.cu:1169-1205) must be
+    bit-identical to stepping the walk base by base, for both -u 2 and
+    -u 4 including mismatch branches inside the table prefix."""
+    import jax.numpy as jnp
+
+    from bwamem_tpu.index.device import DeviceFMIndex
+    from bwamem_tpu.ops import fm as fmops
+    from bwamem_tpu.ops.seeding import bowtie_seed_batch
+
+    g, idx = env
+    fm = DeviceFMIndex.from_host(idx)
+    rng = np.random.default_rng(17)
+    B, L = 12, 60
+    reads = np.full((B, L), 4, np.int32)
+    lens = np.full(B, L, np.int32)
+    for i in range(B):
+        p = int(rng.integers(0, len(g) - L))
+        r = g[p:p + L].copy()
+        r[int(rng.integers(0, 20))] ^= 1  # mismatch inside the prefix
+        reads[i] = r
+    tab = fmops.get_kmer_table(fm, 8)
+    for inexact in (False, True):
+        a = bowtie_seed_batch(fm, jnp.asarray(reads), jnp.asarray(lens),
+                              seed_len=22, stride=11, inexact=inexact)
+        b = bowtie_seed_batch(fm, jnp.asarray(reads), jnp.asarray(lens),
+                              seed_len=22, stride=11, inexact=inexact,
+                              ktab=tab, ktab_k=8)
+        for key in a:
+            assert (np.asarray(a[key]) == np.asarray(b[key])).all(), key
