@@ -94,7 +94,7 @@ def try_load():
         lib.bm_chain2aln_batch.restype = ctypes.c_int64
         lib.bm_chain2aln_batch.argtypes = [
             i32p, i32p, dbp, i64p, i32p, ctypes.c_int64,      # chains
-            i64p, i32p, i32p,                                  # seeds
+            i64p, i32p, i32p, i32p,                            # seeds
             u8p, ctypes.c_int64, i32p,                         # reads
             u32p, ctypes.c_int64, i64p, i8p, ctypes.c_int64,   # reference
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,    # a w o_del
@@ -287,6 +287,7 @@ def chain2aln_native(lib, opt, idx, raw, reads_flat: np.ndarray,
             p32(raw["c_read"]), p32(raw["c_rid"]), pdb(raw["c_frac"]),
             p64(raw["c_soff"]), p32(raw["c_ns"]), n_chains,
             p64(raw["s_rbeg"]), p32(raw["s_qbeg"]), p32(raw["s_len"]),
+            p32(raw.get("s_score", raw["s_len"])),
             pu8(reads_flat), read_stride, p32(l_query),
             pu32(pac), idx.l_pac, p64(ann_off), p8(ann_alt), len(ann_off),
             opt.a, opt.w, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,

@@ -463,10 +463,8 @@ class MemAligner:
         Python objects). Used when the per-seed SW/SHD filter is inactive
         (short reads, no -F); returns None to fall back."""
         opt, idx = self.opt, self.idx
-        if opt.shd_filter or opt.min_chain_weight > 0 or opt.verbose >= 4:
+        if opt.min_chain_weight > 0 or opt.verbose >= 4:
             return None
-        if max((len(s) for s in seqs), default=0) >= 500:
-            return None  # long reads: the SW seed filter may activate
         from ..native import loader
         from .chain import chain_batch_raw
 
@@ -477,6 +475,12 @@ class MemAligner:
         raw = chain_batch_raw(opt, idx, lqs, None, seed_arrays=seeds)
         if raw is None:
             return None
+        if opt.shd_filter or max(lqs, default=0) >= 500:
+            # -F SHD / long-read SW per-seed filter: one batched device
+            # launch over the flat arrays (no per-seed objects)
+            from .seedflt import filter_seed_arrays
+
+            filter_seed_arrays(opt, idx, raw, seqs)
         B = len(seqs)
         L = max(lqs)
         reads = np.full((B, L), 4, np.uint8)

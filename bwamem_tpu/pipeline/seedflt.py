@@ -222,3 +222,167 @@ class SeedFilterBatch:
         for cid, idxs in drop.items():
             c = chains[cid]
             c.seeds = [s for j, s in enumerate(c.seeds) if j not in idxs]
+
+
+def filter_seed_arrays(opt: MemOptions, idx: FMIndex, raw: dict,
+                       seqs: list) -> None:
+    """Per-seed SW/SHD filtering over chain_batch_raw's FLAT arrays —
+    the native fast path's equivalent of SeedFilterBatch (so -F and
+    long-read inputs no longer fall back to the per-seed object path).
+
+    Mutates `raw` in place: adds `s_score` (SW-rescored short seeds,
+    reference mem_seed_sw src/bwamem.c:774-807), drops failing seeds
+    compacting the seed arrays + per-chain table, and drops emptied
+    chains. One batched device launch per chunk, like the object path.
+    """
+    nC, nS = raw["n_chains"], raw["n_seeds"]
+    if nC == 0 or nS == 0:
+        return
+    l_pac = idx.l_pac
+    c_read = raw["c_read"][:nC]
+    c_soff = raw["c_soff"][:nC]
+    c_ns = raw["c_ns"][:nC]
+    sq = raw["s_qbeg"][:nS]
+    sr = raw["s_rbeg"][:nS]
+    sl = raw["s_len"][:nS]
+    s_score = sl.astype(np.int32).copy()
+    keep = np.ones(nS, bool)
+    # seed index -> owning read (chains are consecutive seed ranges)
+    seed_read = np.repeat(c_read, c_ns)
+
+    if opt.shd_filter:
+        jobs: list[tuple[int, np.ndarray, np.ndarray]] = []  # (si, rd, rf)
+        for si in range(nS):
+            query = seqs[seed_read[si]]
+            l_query = len(query)
+            qb, ln = int(sq[si]), int(sl[si])
+            rbs = int(sr[si])
+            qe, re_ = qb + ln, rbs + ln
+            tested = False
+            if qe < l_query:  # right flank (reference :829-896)
+                qbeg = max(qe - SHD_OVL, 0)
+                qend = min(qbeg + SHD_WIN, l_query)
+                rbeg = max(re_ - SHD_OVL, 0)
+                rend = min(rbeg + SHD_WIN, l_pac << 1)
+                mid = (rbeg + rend) >> 1
+                if rbeg < l_pac < rend:
+                    rend = l_pac if mid < l_pac else rend
+                    rbeg = rbeg if mid < l_pac else l_pac
+                rbeg, rend, rseq, _ = idx.fetch_seq_rid(rbeg, rend, mid)
+                jobs.append((si, np.asarray(query[qbeg:qend], np.int32),
+                             rseq.astype(np.int32)))
+                tested = True
+            if qb > 0:        # left flank, reversed (reference :897-957)
+                qend = min(qb + SHD_OVL, l_query)
+                qbeg = max(qend - SHD_WIN, 0)
+                rend = min(rbs + SHD_OVL, l_pac << 1)
+                rbeg = max(rend - SHD_WIN, 0)
+                mid = (rbeg + rend) >> 1
+                if rbeg < l_pac < rend:
+                    rend = l_pac if mid < l_pac else rend
+                    rbeg = rbeg if mid < l_pac else l_pac
+                rbeg, rend, rseq, _ = idx.fetch_seq_rid(rbeg, rend, mid)
+                w = np.asarray(query[qbeg:qend], np.int32)[::-1].copy()
+                jobs.append((si, w, rseq[::-1].astype(np.int32)))
+                tested = True
+            if tested:
+                keep[si] = False  # survives only if a side passes
+        if jobs:
+            N = bucket_count(len(jobs))
+            R = np.zeros((N, SHD_WIN), np.int32)
+            F = np.zeros((N, SHD_WIN), np.int32)
+            lens = np.zeros(N, np.int32)
+            for i, (si, rd, rf) in enumerate(jobs):
+                n = min(len(rd), len(rf), SHD_WIN)
+                R[i, :n] = rd[:n]
+                F[i, :n] = rf[:n]
+                lens[i] = n
+            ok = np.asarray(shd_filter_batch(
+                jnp.asarray(R), jnp.asarray(F), jnp.asarray(lens),
+                SHD_MAX_ERR))
+            for i, (si, _, _) in enumerate(jobs):
+                keep[si] = keep[si] or bool(ok[i])
+    else:
+        # default SW filter — inactive for short reads (reference :976)
+        min_hsp = np.zeros(len(seqs), np.int64)
+        active = np.zeros(len(seqs), bool)
+        for b, s in enumerate(seqs):
+            lq = len(s)
+            if lq < 1:
+                continue
+            min_l = (MEM_HSP_COEF * opt.min_chain_weight
+                     if opt.min_chain_weight
+                     else MEM_MINSC_COEF * math.log(lq))
+            if min_l <= MEM_SEEDSW_COEF * lq:
+                active[b] = True
+                min_hsp[b] = int(opt.a * min_l + 0.499)
+        sjobs: list[tuple[int, np.ndarray, np.ndarray]] = []
+        for si in np.flatnonzero(active[seed_read]
+                                 & (sl < MEM_SHORT_LEN)):
+            si = int(si)
+            query = seqs[seed_read[si]]
+            l_query = len(query)
+            qb0, ln = int(sq[si]), int(sl[si])
+            rb0 = int(sr[si])
+            qb = max(qb0 - MEM_SHORT_EXT, 0)
+            qe = min(qb0 + ln + MEM_SHORT_EXT, l_query)
+            rb = max(rb0 - MEM_SHORT_EXT, 0)
+            re_ = min(rb0 + ln + MEM_SHORT_EXT, l_pac << 1)
+            mid = (rb0 + rb0 + ln) >> 1
+            if rb < l_pac < re_:
+                if mid < l_pac:
+                    re_ = l_pac
+                else:
+                    rb = l_pac
+            if qe - qb >= MEM_SHORT_LEN or re_ - rb >= MEM_SHORT_LEN:
+                continue
+            rb, re_, rseq, _ = idx.fetch_seq_rid(rb, re_, mid=mid)
+            sjobs.append((si, np.asarray(query[qb:qe], np.int32),
+                          rseq.astype(np.int32)))
+        if sjobs:
+            N = bucket_count(len(sjobs))
+            Q = np.full((N, MEM_SHORT_LEN), 4, np.int32)
+            T = np.full((N, MEM_SHORT_LEN), 4, np.int32)
+            ql = np.zeros(N, np.int32)
+            tl = np.zeros(N, np.int32)
+            for i, (si, qw, rw) in enumerate(sjobs):
+                Q[i, : len(qw)] = qw
+                T[i, : len(rw)] = rw
+                ql[i], tl[i] = len(qw), len(rw)
+            out = sw_align_batch(
+                jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql),
+                jnp.asarray(tl), jnp.asarray(opt.mat),
+                jnp.zeros(N, jnp.int32), opt.o_del, opt.e_del,
+                opt.o_ins, opt.e_ins, opt.a)
+            scores = np.asarray(out["score"])
+            for i, (si, _, _) in enumerate(sjobs):
+                sc = int(scores[i])
+                if sc < min_hsp[seed_read[si]]:
+                    keep[si] = False
+                else:
+                    s_score[si] = sc
+
+    if keep.all():
+        raw["s_score"] = s_score
+        return
+    # compact seeds + chain table; drop emptied chains
+    new_ns = np.array([int(keep[int(c_soff[i]):int(c_soff[i])
+                                + int(c_ns[i])].sum())
+                       for i in range(nC)], np.int32)
+    ckeep = new_ns > 0
+    order = np.flatnonzero(keep)
+    raw["s_rbeg"] = sr[order].astype(np.int64)
+    raw["s_qbeg"] = sq[order].astype(np.int32)
+    raw["s_len"] = sl[order].astype(np.int32)
+    raw["s_score"] = s_score[order]
+    raw["n_seeds"] = len(order)
+    soff_new = np.zeros(nC, np.int64)
+    np.cumsum(new_ns[:-1], out=soff_new[1:])
+    for key, arr in (("c_read", c_read), ("c_rid", raw["c_rid"][:nC]),
+                     ("c_w", raw["c_w"][:nC]),
+                     ("c_kept", raw["c_kept"][:nC]),
+                     ("c_frac", raw["c_frac"][:nC])):
+        raw[key] = arr[ckeep]
+    raw["c_soff"] = soff_new[ckeep]
+    raw["c_ns"] = new_ns[ckeep]
+    raw["n_chains"] = int(ckeep.sum())

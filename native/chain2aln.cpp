@@ -55,8 +55,11 @@ extern "C" int64_t bm_chain2aln_batch(
     // chain table (from bm_chain_batch), chains grouped by read ascending
     const int32_t* c_read, const int32_t* c_rid, const double* c_frac,
     const int64_t* c_soff, const int32_t* c_ns, int64_t n_chains,
-    // kept-seed arrays (from bm_chain_batch)
+    // kept-seed arrays (from bm_chain_batch); s_score == s_len unless a
+    // per-seed filter re-scored short seeds (mem_seed_sw, reference
+    // src/bwamem.c:774-807 — only the extension ORDER depends on it)
     const int64_t* s_rbeg, const int32_t* s_qbeg, const int32_t* s_len,
+    const int32_t* s_score,
     // reads
     const uint8_t* reads, int64_t read_stride, const int32_t* l_query,
     // reference
@@ -157,12 +160,12 @@ extern "C" int64_t bm_chain2aln_batch(
     for (int64_t p = 0; p < wlen; ++p)
       window[p] = base_at(pac, l_pac, rmax0 + p);
 
-    // seeds best-score-first (score == len on this path; ties: later
-    // index first — reference sorts ascending and walks from the back)
+    // seeds best-score-first (ties: later index first — reference sorts
+    // ascending and walks from the back)
     srt.resize(ns);
     for (int32_t t = 0; t < ns; ++t) srt[t] = t;
     std::stable_sort(srt.begin(), srt.end(), [&](int64_t x, int64_t y) {
-      return s_len[soff + x] < s_len[soff + y];
+      return s_score[soff + x] < s_score[soff + y];
     });
     skipped.assign(ns, 0);
 

@@ -125,3 +125,66 @@ def test_chain2aln_fast_path_pe_differential(env):
                            lambda self, s, e: None):
         slow = MemAligner(MemOptions(), idx).align_pairs_batch(names, seqs)
     assert fast == slow
+
+
+def test_fast_path_shd_filter_differential(env):
+    """-F (SHD seed filter) now runs ON the native fast path via
+    filter_seed_arrays — SAM must stay byte-identical to the per-seed
+    object path (SeedFilterBatch)."""
+    from unittest import mock
+
+    from bwamem_tpu.pipeline.aligner import MemAligner
+
+    g, idx = env
+    rng = np.random.default_rng(21)
+    names, seqs = [], []
+    for i in range(60):
+        ln = int(rng.integers(60, 220))
+        p = int(rng.integers(0, 40000 - ln))
+        r = g[p : p + ln].copy()
+        for _ in range(int(rng.integers(0, 8))):
+            r[int(rng.integers(0, ln))] = int(rng.integers(0, 4))
+        if i % 2:
+            r = (3 - r)[::-1].copy()
+        names.append(f"f{i}")
+        seqs.append(r)
+    opt = MemOptions(shd_filter=True)
+    al = MemAligner(opt, idx)
+    fast = al.align_batch(names, seqs)
+    al2 = MemAligner(MemOptions(shd_filter=True), idx)
+    with mock.patch.object(MemAligner, "_collect_native",
+                           lambda self, s, e: None):
+        slow = al2.align_batch(names, seqs)
+    assert fast == slow
+
+
+def test_fast_path_longread_sw_filter_differential(env):
+    """Long reads (>=500 bp, SW seed filter active) stay on the native
+    fast path and match the object path byte for byte."""
+    from unittest import mock
+
+    from bwamem_tpu.pipeline.aligner import MemAligner
+
+    g, idx = env
+    rng = np.random.default_rng(23)
+    names, seqs = [], []
+    for i in range(12):
+        ln = int(rng.integers(550, 900))
+        p = int(rng.integers(0, 40000 - ln))
+        r = g[p : p + ln].copy()
+        for _ in range(int(rng.integers(4, 24))):
+            r[int(rng.integers(0, ln))] = int(rng.integers(0, 4))
+        if i % 4 == 1:  # chimeric half, stresses chain filtering
+            p2 = int(rng.integers(0, 40000 - ln))
+            r[ln // 2:] = g[p2 + ln // 2 : p2 + ln]
+        if i % 2:
+            r = (3 - r)[::-1].copy()
+        names.append(f"L{i}")
+        seqs.append(r)
+    al = MemAligner(MemOptions(), idx)
+    fast = al.align_batch(names, seqs)
+    al2 = MemAligner(MemOptions(), idx)
+    with mock.patch.object(MemAligner, "_collect_native",
+                           lambda self, s, e: None):
+        slow = al2.align_batch(names, seqs)
+    assert fast == slow
