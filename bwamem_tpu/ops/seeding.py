@@ -140,13 +140,21 @@ def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len,
     return start, k, s, emit
 
 
-def _forward_pass2(fm: DeviceFMIndex, reads, lens, min_seed_len):
+def _forward_pass2(fm: DeviceFMIndex, reads, lens, min_seed_len,
+                   strategy: tuple | None = None):
     """2-step variant of _forward_pass over the dinucleotide pair table:
     each scan trip appends a base PAIR via ONE fused occ2 gather
     (fm.forward_ext2_batch) and emits BOTH positions' candidates, halving
     the serial trip chain. Restarts mid-pair re-enter through the
     precomputed 2-mer bi-interval table (fm.occ2_pat). Emissions are
-    field-identical to _forward_pass ("shrink" mode)."""
+    field-identical to _forward_pass ("shrink" mode).
+
+    strategy=(min_len, max_intv): ALSO run the round-3 LAST-like seeding
+    automaton (_seed_strategy_pass semantics) inside the same scan — its
+    per-trip gather is independent of round 1's, so the two overlap
+    instead of serializing as back-to-back scans would. Returns the four
+    round-1 planes plus (x3, k3, s3, emit3), each (B, L), seed of
+    column i ending at i + 1."""
     B, L = reads.shape
     T2 = (L + 2) // 2  # trips; positions covered: 0 .. 2*T2-1 >= L+1
     NP = 2 * T2
@@ -175,7 +183,10 @@ def _forward_pass2(fm: DeviceFMIndex, reads, lens, min_seed_len):
         return ik, il, is_
 
     def step(carry, it):
-        k, l, s, seg = carry
+        if strategy is None:
+            k, l, s, seg = carry
+        else:
+            k, l, s, seg, x3, k3, l3, s3 = carry
         i = 2 * it
         b1 = reads_pad[:, i]
         b2 = reads_pad[:, i + 1]
@@ -185,6 +196,11 @@ def _forward_pass2(fm: DeviceFMIndex, reads, lens, min_seed_len):
 
         (k1, l1, s1), (k2, l2, s2) = fmops.forward_ext2_batch(
             fm, k, l, s, b1, b2)
+        if strategy is not None:
+            # round-3 extension rides the same trip; independent of the
+            # round-1 gather above, so the two passes overlap
+            (k31, l31, s31), (k32, l32, s32) = fmops.forward_ext2_batch(
+                fm, k3, l3, s3, b1, b2)
 
         # ---- sub-step A (position i) ----
         s1v = jnp.where(valid1, s1, 0)
@@ -217,7 +233,45 @@ def _forward_pass2(fm: DeviceFMIndex, reads, lens, min_seed_len):
         lN = jnp.where(ext2, lB, jnp.where(restart2, il2, 0))
         sN = jnp.where(ext2, sB, jnp.where(restart2, is2, 0))
         segN = jnp.where(ext2, segA, i + 1)
-        return (kN, lN, sN, segN), (candA, candB)
+        if strategy is None:
+            return (kN, lN, sN, segN), (candA, candB)
+
+        # ---- round-3 automaton, both sub-steps (the scalar rules of
+        # _seed_strategy_pass verbatim; bwa_index/bwt.c:434-455) ----
+        min_len3, max_intv3 = strategy
+        # (ik1/il1/is1, ik2/il2/is2 computed by round 1 above are reused)
+        # sub-step A (position i)
+        walkA = jnp.logical_and(valid1, x3 < i)
+        emit3A = walkA & (s31 < max_intv3) & (i - x3 >= min_len3)
+        cand3A = (x3, k31, s31, emit3A)
+        startA = jnp.logical_and(valid1, x3 == i)
+        contA3 = walkA & jnp.logical_not(emit3A)
+        k3A = jnp.where(contA3, k31, jnp.where(startA, ik1, 0))
+        l3A = jnp.where(contA3, l31, jnp.where(startA, il1, 0))
+        s3A = jnp.where(contA3, s31, jnp.where(startA, is1, 0))
+        x3A = jnp.where(jnp.logical_or(jnp.logical_not(valid1), emit3A),
+                        i + 1, x3)
+        # sub-step B (position i+1): pair path for contA3 lanes, 2-mer
+        # table for lanes that started at i, fresh start at i+1
+        d12 = jnp.clip(b1, 0, 3) * 4 + jnp.clip(b2, 0, 3)
+        k3B = jnp.where(contA3, k32, jnp.where(startA,
+                                               _sel16d(patk, d12), 0))
+        l3B = jnp.where(contA3, l32, jnp.where(startA,
+                                               _sel16d(patl, d12), 0))
+        s3B = jnp.where(contA3, s32, jnp.where(startA,
+                                               _sel16d(pats, d12), 0))
+        walkB = jnp.logical_and(valid2, x3A < i + 1)
+        emit3B = walkB & (s3B < max_intv3) & (i + 1 - x3A >= min_len3)
+        cand3B = (x3A, k3B, s3B, emit3B)
+        startB = jnp.logical_and(valid2, x3A == i + 1)
+        contB3 = walkB & jnp.logical_not(emit3B)
+        k3N = jnp.where(contB3, k3B, jnp.where(startB, ik2, 0))
+        l3N = jnp.where(contB3, l3B, jnp.where(startB, il2, 0))
+        s3N = jnp.where(contB3, s3B, jnp.where(startB, is2, 0))
+        x3N = jnp.where(jnp.logical_or(jnp.logical_not(valid2), emit3B),
+                        i + 2, x3A)
+        return ((kN, lN, sN, segN, x3N, k3N, l3N, s3N),
+                (candA, candB, cand3A, cand3B))
 
     def _sel16d(tbl, d):
         sel = (jnp.arange(16, dtype=jnp.int32)[None, :] == d[:, None])
@@ -225,15 +279,25 @@ def _forward_pass2(fm: DeviceFMIndex, reads, lens, min_seed_len):
 
     zi = jnp.zeros((B,), dt)
     z32 = jnp.zeros((B,), jnp.int32)
-    _, (cA, cB) = jax.lax.scan(
-        step, (zi, zi, zi, z32), jnp.arange(T2, dtype=jnp.int32))
+    if strategy is None:
+        _, (cA, cB) = jax.lax.scan(
+            step, (zi, zi, zi, z32), jnp.arange(T2, dtype=jnp.int32))
+    else:
+        _, (cA, cB, c3A, c3B) = jax.lax.scan(
+            step, (zi, zi, zi, z32, z32, zi, zi, zi),
+            jnp.arange(T2, dtype=jnp.int32))
+
     # interleave: trip t's A is position 2t, B is 2t+1
-    out = []
-    for fa, fb in zip(cA, cB):
+    def weave(fa, fb):
         x = jnp.stack([fa, fb], axis=1).reshape(NP, B)
-        out.append(jnp.swapaxes(x, 0, 1))
-    start, kk, ss, emit = out
-    return start, kk, ss, emit
+        return jnp.swapaxes(x, 0, 1)
+
+    start, kk, ss, emit = (weave(fa, fb) for fa, fb in zip(cA, cB))
+    if strategy is None:
+        return start, kk, ss, emit
+    x3, k3, s3, emit3 = (weave(fa, fb)[:, :L]
+                         for fa, fb in zip(c3A, c3B))
+    return start, kk, ss, emit, (x3, k3, s3, emit3)
 
 
 def _compact_global(fields, emit, pool_size):
@@ -815,9 +879,18 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
     lens = lens.astype(jnp.int32)
     B, L = reads.shape
     emit_mode = "segment" if cfg.mode == "fwdmem" else "shrink"
+    fuse_r3 = (cfg.reseed and cfg.mode == "smem" and cfg.max_mem_intv > 0
+               and fm.has_occ2 and emit_mode == "shrink")
+    r3_planes = None
     if fm.has_occ2 and emit_mode == "shrink":
-        start, k, s, emit = _forward_pass2(fm, reads, lens,
-                                           cfg.min_seed_len)
+        out_fwd = _forward_pass2(
+            fm, reads, lens, cfg.min_seed_len,
+            strategy=((cfg.min_seed_len, cfg.max_mem_intv)
+                      if fuse_r3 else None))
+        if fuse_r3:
+            start, k, s, emit, r3_planes = out_fwd
+        else:
+            start, k, s, emit = out_fwd
     else:
         start, k, s, emit = _forward_pass(fm, reads, lens,
                                           cfg.min_seed_len, emit_mode)
@@ -872,8 +945,11 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         over = over | l_over | f_over | c2_over
         # ---- round 3: LAST-like forward seeds ----
         if cfg.max_mem_intv > 0:
-            x3p, k3p, s3p, emit3 = _seed_strategy_pass(
-                fm, reads, lens, cfg.min_seed_len, cfg.max_mem_intv)
+            if r3_planes is not None:  # fused into the round-1 scan
+                x3p, k3p, s3p, emit3 = r3_planes
+            else:
+                x3p, k3p, s3p, emit3 = _seed_strategy_pass(
+                    fm, reads, lens, cfg.min_seed_len, cfg.max_mem_intv)
             L3 = emit3.shape[1]
             rid3_p = jnp.broadcast_to(
                 jnp.arange(B, dtype=jnp.int32)[:, None], (B, L3))
