@@ -291,6 +291,10 @@ class MemAligner:
         # run counters (reference: no_of_extensions[tid] src/bwamem.c:2113
         # and the seed/extension tallies in the exit report)
         self.stats = {"n_reads": 0, "n_seeds": 0, "n_extensions": 0}
+        # optional fine-grained stage timing (the reference's time_struct
+        # splits GPU seeding/extension/host stages; src/utils.h:139-161);
+        # set by run_pipeline so the -v report breaks "collect" down
+        self.timings = None
         self.pes_fixed = None  # -I fixed insert-size model (pes0)
         self.fm = fm or DeviceFMIndex.from_host(idx)
         if mesh is not None:
@@ -309,6 +313,12 @@ class MemAligner:
             e_ins=opt.e_ins, w=opt.w, zdrop=opt.zdrop,
             end_bonus=opt.pen_clip5, opt_ext=opt.opt_ext, max_mat=opt.a,
             mismatch=opt.b)
+
+    def _span(self, label: str):
+        from contextlib import nullcontext
+
+        return (self.timings.span(label) if self.timings is not None
+                else nullcontext())
 
     def seed_batch_arrays(self, seqs: list[np.ndarray]) -> dict:
         """Device seeding; returns compacted flat seed arrays
@@ -392,7 +402,8 @@ class MemAligner:
                         n_seeds=head[0], overflow=head[1] > 0)
 
         while True:
-            out = fetch(launch(self.seed_cfg))
+            with self._span("seed_device"):
+                out = fetch(launch(self.seed_cfg))
             if not bool(out["overflow"]) or self.seed_cfg.cand_pool >= 4096:
                 break
             import sys
@@ -472,7 +483,8 @@ class MemAligner:
         if lib is None:
             return None
         lqs = [len(s) for s in seqs]
-        raw = chain_batch_raw(opt, idx, lqs, None, seed_arrays=seeds)
+        with self._span("chain_native"):
+            raw = chain_batch_raw(opt, idx, lqs, None, seed_arrays=seeds)
         if raw is None:
             return None
         if opt.shd_filter or max(lqs, default=0) >= 500:
@@ -480,15 +492,17 @@ class MemAligner:
             # launch over the flat arrays (no per-seed objects)
             from .seedflt import filter_seed_arrays
 
-            filter_seed_arrays(opt, idx, raw, seqs)
+            with self._span("seed_filter"):
+                filter_seed_arrays(opt, idx, raw, seqs)
         B = len(seqs)
         L = max(lqs)
         reads = np.full((B, L), 4, np.uint8)
         for i, s in enumerate(seqs):
             reads[i, : len(s)] = s
-        out = loader.chain2aln_native(
-            lib, opt, idx, raw, reads.reshape(-1), L,
-            np.asarray(lqs, np.int32))
+        with self._span("chain2aln_native"):
+            out = loader.chain2aln_native(
+                lib, opt, idx, raw, reads.reshape(-1), L,
+                np.asarray(lqs, np.int32))
         nR = out["n_regs"]
         R = out["regs"]
 
@@ -499,6 +513,8 @@ class MemAligner:
         self._run_jobs_arrays(out, (partL, partR))
 
         # vectorized L/R merge (reference rule: src/bwamem.c:2296-2311)
+        merge_span = self._span("merge_numpy")
+        merge_span.__enter__()
         sides = R["sides"][:nR].astype(np.int64)
         seedlen0 = R["seedlen0"][:nR].astype(np.int64)
         qseed = R["qseed"][:nR].astype(np.int64)
@@ -565,9 +581,13 @@ class MemAligner:
             n_comp=np.ones(nR, np.int32),
             rid=np.ascontiguousarray(rids, np.int32),
         )
+        merge_span.__exit__(None, None, None)
         lib = loader.try_load()
-        oi, oc = dedup_patch_native(lib, opt, idx, reg_off, qstream, q_off,
-                                    F)
+        with self._span("dedup_native"):
+            oi, oc = dedup_patch_native(lib, opt, idx, reg_off, qstream,
+                                        q_off, F)
+        obj_span = self._span("reg_objects")
+        obj_span.__enter__()
         per: list[list[AlnReg]] = []
         for b in range(B):
             lst = []
@@ -585,6 +605,7 @@ class MemAligner:
                     is_alt=bool(alts[k]), frac_rep=float(fracs[k]))
                 lst.append(a)
             per.append(lst)
+        obj_span.__exit__(None, None, None)
         return per
 
     def _run_jobs_arrays(self, out, parts) -> None:
@@ -612,10 +633,11 @@ class MemAligner:
             QMAX = bucket_len(int(qlen[sel].max()))
             TMAX = bucket_len(int(tlen[sel].max()))
             N = -(-bucket_count(len(sel)) // n_dev) * n_dev
-            Q = loader.scatter_jobs(lib, out["qstream"], J["qoff"],
-                                    J["qlen"], sel, QMAX)
-            T = loader.scatter_jobs(lib, out["tstream"], J["toff"],
-                                    J["tlen"], sel, TMAX)
+            with self._span("ext_scatter"):
+                Q = loader.scatter_jobs(lib, out["qstream"], J["qoff"],
+                                        J["qlen"], sel, QMAX)
+                T = loader.scatter_jobs(lib, out["tstream"], J["toff"],
+                                        J["tlen"], sel, TMAX)
             if N != len(sel):
                 Q = np.vstack(
                     [Q, np.full((N - len(sel), QMAX), 4, np.int8)])
@@ -645,7 +667,8 @@ class MemAligner:
                     jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql),
                     jnp.asarray(tl), jnp.asarray(h0), jnp.asarray(opt.mat),
                     self.ext_params, int(opt.pen_clip5))
-            sc, qe, te = np.asarray(stacked)[:, : len(sel)]
+            with self._span("ext_device"):
+                sc, qe, te = np.asarray(stacked)[:, : len(sel)]
             jreg = J["reg"][:nJ][sel]
             jside = J["side"][:nJ][sel]
             for side in (0, 1):
@@ -779,15 +802,17 @@ class MemAligner:
                 "reads — not valid interleaved PE data")
         per_read_regs = self.collect_regs_batch(seqs)
         if pes is None:
-            pes = self.pes_fixed or mem_pestat(opt, idx.l_pac,
-                                               per_read_regs)
+            with self._span("pestat"):
+                pes = self.pes_fixed or mem_pestat(opt, idx.l_pac,
+                                                   per_read_regs)
         n_pairs = len(seqs) >> 1
         pair_seqs = [(seqs[i << 1], seqs[i << 1 | 1])
                      for i in range(n_pairs)]
         pair_regs = [[per_read_regs[i << 1], per_read_regs[i << 1 | 1]]
                      for i in range(n_pairs)]
         if not (opt.flag & MEM_F_NO_RESCUE):
-            mem_pe_rescue_batch(opt, idx, pes, pair_seqs, pair_regs)
+            with self._span("pe_rescue"):
+                mem_pe_rescue_batch(opt, idx, pes, pair_seqs, pair_regs)
         return pair_regs, pes
 
     def align_pairs_batch(self, names: list[str], seqs: list[np.ndarray],

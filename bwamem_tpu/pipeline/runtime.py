@@ -40,6 +40,7 @@ def run_pipeline(records: Iterator[SeqRecord], aligner, chunk_bases: int,
     from .hostpool import HostPool
 
     timings = timings or Timings()
+    aligner.timings = timings  # fine-grained sub-spans inside "collect"
     pool = host_pool or HostPool(aligner.opt, aligner.idx, 1)
     in_q: queue.Queue = queue.Queue(maxsize=queue_depth)
     out_q: queue.Queue = queue.Queue(maxsize=queue_depth)
