@@ -220,8 +220,21 @@ def extend_batch(
 def extend_batch_auto(query, target, qlen, tlen, h0, mat, params):
     """Dispatch: Pallas kernel on TPU backends, lax.scan elsewhere (the
     Pallas kernel runs everywhere via interpret mode, but compiled XLA is
-    faster on CPU). Both paths are tested for exact agreement."""
+    faster on CPU). Both paths are tested for exact agreement.
+
+    Long reads take the banded sliding-window kernel when the band
+    window (2w+3 lanes) is narrower than the dense DP row — per-row work
+    then scales with the band, not the read (the reference caps reads at
+    GASAL2's MAX_SEQ_LEN=300 and never faces this regime)."""
     if jax.default_backend() in ("tpu", "axon"):
+        QMAX = query.shape[1]
+        qp_dense = -(-(QMAX + 1) // 128) * 128
+        wp_band = -(-(2 * int(params.w) + 3) // 128) * 128
+        if params.opt_ext and wp_band < qp_dense:
+            from .pallas.extend_banded import extend_batch_banded
+
+            return extend_batch_banded(query, target, qlen, tlen, h0,
+                                       params)
         from .pallas.extend_kernel import extend_batch_pallas
 
         return extend_batch_pallas(query, target, qlen, tlen, h0, params)
