@@ -49,11 +49,19 @@ def _build() -> bool:
 
 
 def try_load():
-    """Return the loaded CDLL or None if native build is unavailable."""
+    """Return the loaded CDLL or None if native build is unavailable.
+    BWAMEM_TPU_NO_NATIVE=1 disables the native cores entirely (every
+    caller falls back to its Python twin — the differential-oracle
+    path), which isolates native-code faults and doubles as an escape
+    hatch on hosts without a toolchain."""
     global _lib, _load_failed
     if _lib is not None:
         return _lib
     if _load_failed:
+        return None
+    import os
+    if os.environ.get("BWAMEM_TPU_NO_NATIVE"):
+        _load_failed = True
         return None
     with _lock:
         if _lib is not None:

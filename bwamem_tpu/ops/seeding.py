@@ -851,17 +851,20 @@ def bowtie_seed_batch(fm: DeviceFMIndex, reads, lens, seed_len: int,
 def smem_seed_batch_stacked(fm: DeviceFMIndex, reads, lens,
                             cfg: "SeedConfig"):
     """smem_seed_batch with the output pool pre-stacked on device: ONE
-    (6, P) array + one (2,) scalar pair, so the host fetch is a single
-    coalesced D2H with no eager stacking dispatches."""
+    (7, P) array, so the host fetch is a single coalesced D2H with no
+    eager stacking dispatches. Row 6 packs the scalar head
+    [n_seeds, overflow] into lanes 0/1 (a second tiny D2H costs a full
+    tunnel round-trip, so the scalars ride along in the pool row)."""
     out = smem_seed_batch(fm, reads, lens, cfg)
     dt = out["rbeg"].dtype
+    head_row = jnp.zeros_like(out["rbeg"])
+    head_row = head_row.at[0].set(out["n_seeds"].astype(dt))
+    head_row = head_row.at[1].set(out["overflow"].astype(dt))
     pool = jnp.stack(
         [out[k].astype(dt)
          for k in ("read_id", "qbeg", "qend", "rbeg", "n_occ")]
-        + [out["valid"].astype(dt)])
-    head = jnp.stack([out["n_seeds"].astype(jnp.int32),
-                      out["overflow"].astype(jnp.int32)])
-    return pool, head
+        + [out["valid"].astype(dt), head_row])
+    return pool
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -134,3 +134,19 @@ def sw_align_batch(query, target, qlen, tlen, mat, minsc,
     qb = jnp.where(good, qe - rqe, -1)
     tb = jnp.where(good, te - rte, -1)
     return dict(score=best, qb=qb, qe=qe, tb=tb, te=te, score2=score2)
+
+
+SW_KEYS = ("score", "qb", "qe", "tb", "te", "score2")
+
+
+@partial(jax.jit,
+         static_argnames=("o_del", "e_del", "o_ins", "e_ins", "max_mat"))
+def sw_align_batch_stacked(query, target, qlen, tlen, mat, minsc,
+                           o_del: int, e_del: int, o_ins: int, e_ins: int,
+                           max_mat: int = 1):
+    """sw_align_batch with the outputs stacked as one (6, N) array in
+    SW_KEYS order INSIDE the jit — callers on dispatch-latency-bound
+    backends get one launch + one D2H instead of an extra eager stack."""
+    out = sw_align_batch(query, target, qlen, tlen, mat, minsc,
+                         o_del, e_del, o_ins, e_ins, max_mat)
+    return jnp.stack([out[k] for k in SW_KEYS])

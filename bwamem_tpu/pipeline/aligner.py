@@ -380,11 +380,12 @@ class MemAligner:
         from dataclasses import replace as _dc_replace
 
         def fetch(raw):
-            """Coalesced D2H: one stacked pool transfer + one scalar pair.
-            The smem path pre-stacks on device (smem_seed_batch_stacked);
-            other paths stack here."""
-            if isinstance(raw, tuple):
-                pool_d, head_d = raw
+            """Coalesced D2H: ONE stacked pool transfer (head scalars ride
+            in pool row 6). The smem path pre-stacks on device
+            (smem_seed_batch_stacked); other paths stack here."""
+            if not isinstance(raw, dict):
+                pool = np.asarray(raw)  # (7, P), single D2H
+                head = pool[6]
             else:
                 dt = raw["rbeg"].dtype
                 pool_d = jnp.stack(
@@ -394,8 +395,8 @@ class MemAligner:
                 head_d = jnp.stack(
                     [raw["n_seeds"].astype(jnp.int32),
                      raw["overflow"].astype(jnp.int32)])
-            pool = np.asarray(pool_d)
-            head = np.asarray(head_d)
+                pool = np.asarray(pool_d)
+                head = np.asarray(head_d)
             return dict(read_id=pool[0], qbeg=pool[1], qend=pool[2],
                         rbeg=pool[3], n_occ=pool[4],
                         valid=pool[5].astype(bool),
@@ -623,8 +624,39 @@ class MemAligner:
         qlen = J["qlen"][:nJ]
         tlen = J["tlen"][:nJ]
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
+
+        # bucket merge: every extra launch costs a dispatch + D2H
+        # round-trip (~56 ms on tunneled backends ~= 84 MB of H2D), so
+        # collapse the qlen buckets into ONE launch unless the extra
+        # pad-to-global-width H2D traffic outweighs the saved trips.
+        # Narrow-query jobs still run at half lane width inside the
+        # merged call — extend_batch_pallas re-buckets internally within
+        # the same jit (ops/pallas/extend_kernel.py QSMALL split).
+        bounds: tuple = (64, 192, 1 << 30)
+        sels_cost = []
         assigned = np.zeros(nJ, bool)
-        for bound in (64, 192, 1 << 30):
+        for bound in bounds:
+            m = (~assigned) & (qlen <= bound)
+            assigned |= m
+            if m.any():
+                sels_cost.append(
+                    bucket_count(int(m.sum()))
+                    * (bucket_len(int(qlen[m].max()))
+                       + bucket_len(int(tlen[m].max()))))
+        if len(sels_cost) > 1:
+            merged_cost = bucket_count(nJ) * (
+                bucket_len(int(qlen.max())) + bucket_len(int(tlen.max())))
+            trip_bytes = (len(sels_cost) - 1) * (64 << 20)
+            if merged_cost - sum(sels_cost) < trip_bytes:
+                bounds = (1 << 30,)
+
+        assigned = np.zeros(nJ, bool)
+        # two passes: scatter + launch EVERY bucket first (async device
+        # dispatch), fetch afterwards — bucket k+1's device compute and
+        # host scatter overlap bucket k's execution instead of
+        # serializing behind its D2H round-trip
+        launched: list[tuple] = []
+        for bound in bounds:
             m = (~assigned) & (qlen <= bound)
             assigned |= m
             sel = np.nonzero(m)[0].astype(np.int64)
@@ -667,6 +699,8 @@ class MemAligner:
                     jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql),
                     jnp.asarray(tl), jnp.asarray(h0), jnp.asarray(opt.mat),
                     self.ext_params, int(opt.pen_clip5))
+            launched.append((stacked, sel))
+        for stacked, sel in launched:
             with self._span("ext_device"):
                 sc, qe, te = np.asarray(stacked)[:, : len(sel)]
             jreg = J["reg"][:nJ][sel]

@@ -253,15 +253,14 @@ def _run_sw_jobs(opt: MemOptions, jobs: list[_SWJob]) -> list[dict]:
         ql[i], tl[i] = len(j.seq), len(j.ref)
     minsc = np.full(N, opt.min_seed_len * opt.a, np.int32)
     import jax.numpy as jnp  # lazy: emit workers must stay jax-free
-    from ..ops.swalign import sw_align_batch
+    from ..ops.swalign import SW_KEYS, sw_align_batch_stacked
 
-    out = sw_align_batch(jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql),
-                         jnp.asarray(tl), jnp.asarray(opt.mat),
-                         jnp.asarray(minsc), opt.o_del, opt.e_del,
-                         opt.o_ins, opt.e_ins, opt.a)
-    keys = list(out)
-    stacked = np.asarray(jnp.stack([out[k] for k in keys]))  # one D2H
-    out = dict(zip(keys, stacked))
+    stacked = np.asarray(sw_align_batch_stacked(
+        jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql),
+        jnp.asarray(tl), jnp.asarray(opt.mat), jnp.asarray(minsc),
+        opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+        opt.a))  # ONE dispatch + ONE D2H
+    out = dict(zip(SW_KEYS, stacked))
     return [{k: out[k][i] for k in out} for i in range(n_real)]
 
 
