@@ -80,8 +80,14 @@ class SeedFilterBatch:
         l_pac = idx.l_pac
         for c in chains:
             for j, s in enumerate(c.seeds):
+                # untested seeds of a filtered read score len * opt.a
+                # (mem_seed_sw returns -1 -> reference :984 rescale);
+                # a != 1 would otherwise sort them against SW-scored
+                # seeds on a different scale in chain2aln's srt order
                 if s.len >= MEM_SHORT_LEN:
-                    continue  # score stays = len (kept)
+                    s.score = s.len * opt.a
+                    s.sw_scored = True
+                    continue
                 qb = max(s.qbeg - MEM_SHORT_EXT, 0)
                 qe = min(s.qbeg + s.len + MEM_SHORT_EXT, l_query)
                 rb = max(s.rbeg - MEM_SHORT_EXT, 0)
@@ -93,6 +99,8 @@ class SeedFilterBatch:
                     else:
                         rb = l_pac
                 if qe - qb >= MEM_SHORT_LEN or re - rb >= MEM_SHORT_LEN:
+                    s.score = s.len * opt.a
+                    s.sw_scored = True
                     continue
                 rb, re, rseq, _ = idx.fetch_seq_rid(rb, re, mid=mid)
                 self.sw_jobs.append(_SWJob(
@@ -316,6 +324,12 @@ def filter_seed_arrays(opt: MemOptions, idx: FMIndex, raw: dict,
             if min_l <= MEM_SEEDSW_COEF * lq:
                 active[b] = True
                 min_hsp[b] = int(opt.a * min_l + 0.499)
+        # every seed of a filtered read is rescored: untested ones
+        # (mem_seed_sw -1: long seed / oversized window) score
+        # len * opt.a (reference :984); tested ones get their SW score
+        # below. Seeds of inactive reads keep creation score = len.
+        act_seed = active[seed_read]
+        s_score[act_seed] = sl[act_seed].astype(np.int32) * opt.a
         sjobs: list[tuple[int, np.ndarray, np.ndarray]] = []
         for si in np.flatnonzero(active[seed_read]
                                  & (sl < MEM_SHORT_LEN)):

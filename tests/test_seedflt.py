@@ -99,6 +99,37 @@ def test_shd_filter_end_to_end(sim):
     assert ok >= 38
 
 
+def test_sw_filter_rescores_untested_seeds_with_a(sim):
+    """Untested seeds of a filtered read (len >= MEM_SHORT_LEN, i.e.
+    mem_seed_sw returns -1) are rescored to len * opt.a so they sort on
+    the same scale as SW-scored seeds (reference src/bwamem.c:984);
+    seeds of reads the filter skips keep their creation score = len."""
+    from bwamem_tpu.pipeline.options import MEM_SHORT_LEN
+    from bwamem_tpu.pipeline.seedflt import filter_seed_arrays
+
+    g, idx = sim
+    opt = MemOptions(a=2, b=8, o_del=12, e_del=2, o_ins=12, e_ins=2)
+    long_read = g[:1000].copy()          # filter active (5.5*ln(l) < .05*l)
+    short_read = g[2000:2150].copy()     # filter inactive
+    raw = {
+        "n_chains": 2, "n_seeds": 2,
+        "c_read": np.array([0, 1], np.int32),
+        "c_soff": np.array([0, 1], np.int64),
+        "c_ns": np.array([1, 1], np.int32),
+        "c_rid": np.zeros(2, np.int32),
+        "c_w": np.array([MEM_SHORT_LEN, 40], np.int32),
+        "c_kept": np.zeros(2, np.int32),
+        "c_frac": np.zeros(2, np.float32),
+        "s_qbeg": np.array([0, 0], np.int32),
+        "s_rbeg": np.array([0, 2000], np.int64),
+        "s_len": np.array([MEM_SHORT_LEN, 40], np.int32),
+    }
+    filter_seed_arrays(opt, idx, raw, [long_read, short_read])
+    assert raw["n_seeds"] == 2
+    assert raw["s_score"][0] == MEM_SHORT_LEN * opt.a  # rescored
+    assert raw["s_score"][1] == 40                     # untouched
+
+
 def test_sw_filter_activates_on_long_reads(sim):
     """mem_flt_chained_seeds is a no-op for 150bp reads and active for
     1000bp reads (reference threshold: 5.5*log(l) vs 0.05*l)."""
