@@ -161,6 +161,54 @@ def main() -> None:
         emit({"metric": f"extend_gcups_{tag}", "value": round(gcups, 1),
               "unit": "GCUPS"})
 
+    # --- 6. forward-scan trip anatomy: gather share vs VPU share -------
+    # Times a dependent chain of forward_ext2_batch trips (the seeding
+    # scan's per-trip primitive) with (a) realistic random occ2 rows vs
+    # (b) all rows pinned to block 0 (cache-resident -> ~zero HBM
+    # traffic, identical VPU rank arithmetic). The difference is the HBM
+    # gather share of a scan trip; it decides whether the unique-suffix
+    # text-coast redesign (DESIGN.md "seeding: unique-suffix coast") can
+    # pay: coasting removes gather bytes but NOT the lockstep VPU work.
+    import jax
+
+    from bwamem_tpu.index.device import DeviceFMIndex
+    from bwamem_tpu.ops import fm as fmops
+
+    fmdev = DeviceFMIndex.from_host(idx)
+    P = 2 * B
+    TR = 64
+    rr = np.random.default_rng(11)
+    seqlen = int(2 * G)
+    base_rows = jnp.asarray(
+        rr.integers(1, seqlen - 200, (TR, P)), fmops.idx_dt(fmdev))
+    b1 = jnp.asarray(rr.integers(0, 4, P), jnp.int32)
+    b2 = jnp.asarray(rr.integers(0, 4, P), jnp.int32)
+
+    @jax.jit
+    def chain(rows_per_trip):
+        def trip(dep, t):
+            l = rows_per_trip[t] | dep           # serialize on prior trip
+            k = l
+            s = jnp.full((P,), 4, l.dtype)
+            (k1, l1, s1), (k2, l2, s2) = fmops.forward_ext2_batch(
+                fmdev, k, l, s, b1, b2)
+            dep = jnp.where(s2 < 0, 1, 0).astype(l.dtype)  # runtime-0
+            return dep.max() + jnp.zeros((P,), l.dtype), s2.sum()
+        _, sums = jax.lax.scan(
+            trip, jnp.zeros((P,), base_rows.dtype),
+            jnp.arange(TR, dtype=jnp.int32))
+        return sums.sum()
+
+    zero_rows = jnp.zeros_like(base_rows)
+    for tag, arr in (("hot", base_rows), ("blk0", zero_rows)):
+        sync(chain(arr))  # compile + warm
+        t0 = time.perf_counter()
+        sync(chain(arr))
+        dt = time.perf_counter() - t0
+        emit({"metric": f"fwdscan_trip_us_{tag}",
+              "value": round(dt / TR * 1e6, 1), "unit": "us/trip",
+              "lanes": P, "trips": TR})
+
     print("battery done ->", OUT, file=sys.stderr)
 
 
