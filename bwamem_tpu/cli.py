@@ -83,10 +83,13 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-l", type=int, default=None, dest="read_len",
                    help="(reference: read length for timing reports; "
                         "detected automatically here)")
-    p.add_argument("-S", action="store_true", dest="skip_pairing",
-                   help="skip pairing; mate rescue performed unless -P also in use")
-    p.add_argument("-P", action="store_true", dest="skip_rescue",
-                   help="skip mate rescue (with -S: fully SE-like PE)")
+    # NB -P/-S follow the reference exactly (src/fastmap.c:176,180:
+    # 'P' -> MEM_F_NOPAIRING, 'S' -> MEM_F_NO_RESCUE), matching vanilla
+    # bwa mem's documented semantics.
+    p.add_argument("-P", action="store_true", dest="skip_pairing",
+                   help="skip pairing; mate rescue performed unless -S also in use")
+    p.add_argument("-S", action="store_true", dest="skip_rescue",
+                   help="skip mate rescue (with -P: fully SE-like PE)")
     p.add_argument("-p", action="store_true", dest="smart_pairing",
                    help="smart pairing: reads file is interleaved PE")
     p.add_argument("-Y", action="store_true", dest="softclip_supp")

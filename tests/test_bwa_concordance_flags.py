@@ -1,0 +1,103 @@
+"""Flag-matrix concordance vs the vanilla bwa oracle.
+
+The default-flag concordance suite (test_bwa_concordance.py) pins the
+default code path to BWA semantics; this matrix points the same
+independent oracle at the OPTION surface — every cell runs both tools
+with one non-default flag and requires the same agreement bar.  This is
+the only way to catch a flag that parses fine but maps to the wrong
+knob (e.g. a gap-extend that only reaches one side of the DP, or a -T
+applied before rescue instead of after), because the repo's own goldens
+are all recorded at defaults.
+
+Oracle invocation matches the fork's mem_opt_init deltas (-w 300 -d 0;
+reference: src/bwamem.c:109-112) plus the cell's flag, mirroring how the
+reference validates itself against its bundled vanilla bwa.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from bwamem_tpu.utils.simgenome import (
+    make_repeat_genome, simulate_pairs, simulate_reads, write_fasta,
+    write_fastq)
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from concordance import (  # noqa: E402
+    compare, ensure_oracle, parse_sam, run_ours, run_vanilla_bwa)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/bwa_index"),
+    reason="reference bwa tree not present")
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("concflag"))
+    rng = np.random.default_rng(51)
+    contigs, _ = make_repeat_genome(rng, 150_000)
+    fasta = os.path.join(d, "g.fa")
+    write_fasta(fasta, contigs)
+
+    reads = simulate_reads(rng, contigs, 400, 150)
+    fq = os.path.join(d, "se.fq")
+    write_fastq(fq, reads)
+
+    pairs = simulate_pairs(rng, contigs, 150, 150)
+    fq1 = os.path.join(d, "pe1.fq")
+    fq2 = os.path.join(d, "pe2.fq")
+    write_fastq(fq1, [a for a, _ in pairs])
+    write_fastq(fq2, [b for _, b in pairs])
+    ensure_oracle()
+    return d, fasta, fq, (fq1, fq2), len(reads), len(pairs)
+
+
+# (id, extra CLI flags — identical for both tools, SE agreement floor)
+# Floors sit slightly under the default-path bar: non-default scoring
+# creates more legitimate repeat ties on this dense-repeat genome.
+SE_CELLS = [
+    ("all_hits", ["-a"], 99.0),
+    ("min_score_50", ["-T", "50"], 99.0),
+    ("clip_pen_10", ["-L", "10"], 99.0),
+    ("gap_open_10", ["-O", "10"], 99.0),
+    ("gap_ext_2", ["-E", "2"], 99.0),
+    ("mismatch_2", ["-B", "2"], 98.5),
+    ("match_2_rescale", ["-A", "2"], 98.5),
+    ("seed_len_25", ["-k", "25"], 99.0),
+    ("max_occ_100", ["-c", "100"], 99.0),
+    ("reseed_1.0", ["-r", "1.0"], 99.0),
+]
+
+
+@pytest.mark.parametrize("name,flags,floor",
+                         SE_CELLS, ids=[c[0] for c in SE_CELLS])
+def test_se_flag_cell(world, name, flags, floor):
+    d, fasta, fq, _, n_reads, _ = world
+    theirs = parse_sam(run_vanilla_bwa(d, fasta, fq, extra=tuple(flags)))
+    ours = parse_sam(run_ours(d, fasta, fq, extra=tuple(flags)))
+    rep = compare(ours, theirs, 150)
+    assert rep["total"] == n_reads, (name, rep["counts"])
+    assert rep["agree_pct"] >= floor, (name, rep["counts"],
+                                       rep["examples"].get("diff"))
+    assert rep["mapq_within_5"] >= 96.0, (name, rep["mapq_delta"])
+
+
+PE_CELLS = [
+    ("pe_unpaired_pen_9", ["-U", "9"], 99.0),
+    ("pe_all_hits", ["-a"], 99.0),
+    ("pe_skip_rescue", ["-S"], 98.5),
+]
+
+
+@pytest.mark.parametrize("name,flags,floor",
+                         PE_CELLS, ids=[c[0] for c in PE_CELLS])
+def test_pe_flag_cell(world, name, flags, floor):
+    d, fasta, _, (fq1, fq2), _, n_pairs = world
+    theirs = parse_sam(run_vanilla_bwa(d, fasta, fq1, fq2,
+                                       extra=tuple(flags)))
+    ours = parse_sam(run_ours(d, fasta, fq1, fq2, extra=tuple(flags)))
+    rep = compare(ours, theirs, 150)
+    assert rep["total"] == 2 * n_pairs, (name, rep["counts"])
+    assert rep["agree_pct"] >= floor, (name, rep["counts"],
+                                       rep["examples"].get("diff"))
