@@ -115,7 +115,7 @@ def device_align_step(fm: DeviceFMIndex, reads, lens,
     two_sided = jnp.logical_and(lq_len > 0, rq_len > 0)
     score = jnp.where(
         lq_len > 0, lsc, 0) + jnp.where(rq_len > 0, rsc, 0) \
-        - jnp.where(two_sided, seedlen, 0)
+        - jnp.where(two_sided, seedlen * cfg.a, 0)
     score = jnp.where(
         jnp.logical_and(lq_len == 0, rq_len == 0),
         seedlen * cfg.a, score)

@@ -225,15 +225,25 @@ def run_extension_jobs(fm_params: ExtendParams, mat: np.ndarray,
             j.reg.part[j.side] = [int(sc[i]), int(qe[i]), int(te[i])]
 
 
-def merge_extension_results(l_query: int, regs: list[AlnReg]) -> None:
+def merge_extension_results(l_query: int, regs: list[AlnReg],
+                            a_match: int = 1) -> None:
     """L/R merge (reference: src/bwamem.c:2296-2311) + post-merge seedcov
     (vanilla-style; the fork leaves seedcov 0 for extended regions, which
-    only matters for the non-default mapQ_coef_len=0 formula)."""
+    only matters for the non-default mapQ_coef_len=0 formula).
+
+    When both sides extended, each side's score counts the whole seed
+    (h0 = seedlen0 * a), so one seed score must come back out. The
+    reference subtracts bare `seedlen0` (src/bwamem.c:2298) — correct
+    only at the default a=1; at -A 2 that inflates every two-sided score
+    by seedlen0*(a-1) above the theoretical max. We subtract
+    seedlen0 * a, which matches vanilla bwa-mem's chained-extension
+    scores for every a (verified by the -A flag cell of the concordance
+    matrix, tests/test_bwa_concordance_flags.py)."""
     for a in regs:
         if a.align_sides > 0:
             a.score = a.part[LEFT][0] + a.part[RIGHT][0]
             if a.align_sides == 2:
-                a.score -= a.seedlen0
+                a.score -= a.seedlen0 * a_match
             a.qb = a.query_seed_begin - a.part[LEFT][1]
             a.qe = a.query_seed_begin + a.seedlen0 + a.part[RIGHT][1]
             a.rb = a.target_seed_begin - a.part[LEFT][2]
@@ -541,8 +551,10 @@ class MemAligner:
         qseed = R["qseed"][:nR].astype(np.int64)
         rseed = R["rseed"][:nR]
         ext = sides > 0
+        # two-sided merge subtracts the double-counted seed at its SCORE
+        # (seedlen0 * a), not its length — see merge_extension_results
         score = np.where(
-            ext, partL[:, 0] + partR[:, 0] - (sides == 2) * seedlen0,
+            ext, partL[:, 0] + partR[:, 0] - (sides == 2) * seedlen0 * opt.a,
             R["score0"][:nR])
         qb = np.where(ext, qseed - partL[:, 1], R["qb0"][:nR])
         qe = np.where(ext, qseed + seedlen0 + partR[:, 1], R["qe0"][:nR])
@@ -787,7 +799,7 @@ class MemAligner:
         out: list[list[AlnReg]] = []
         for b, seq in enumerate(seqs):
             regs = per_read_regs[b]
-            merge_extension_results(len(seq), regs)
+            merge_extension_results(len(seq), regs, a_match=opt.a)
             out.append(mem_sort_dedup_patch(opt, idx, seq, regs))
         if opt.verbose >= 4:
             _dump_regs(out, stage="post-dedup")
