@@ -44,7 +44,12 @@ def _ensure_live_backend(timeout: float = 240.0) -> None:
     """
     global _METRIC_SUFFIX
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-        return  # explicitly CPU already; nothing to probe
+        # explicitly CPU already; nothing to probe — but re-pin the
+        # config (the axon sitecustomize force-set it to "axon,cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return
     probe = ("import jax, jax.numpy as jnp; "
              "assert float(jnp.arange(8.0).sum()) == 28.0; "
              "print('BENCH_PROBE_OK')")
@@ -59,6 +64,12 @@ def _ensure_live_backend(timeout: float = 240.0) -> None:
         print(f"[bench] device backend unreachable after {timeout:.0f}s "
               "probe; falling back to CPU", file=sys.stderr)
         os.environ["JAX_PLATFORMS"] = "cpu"
+        # the axon sitecustomize force-sets jax_platforms="axon,cpu"
+        # (config beats env), so the env var alone would still dial the
+        # dead tunnel at first dispatch — re-pin the config too
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         _METRIC_SUFFIX = "_cpu_fallback"
 
 

@@ -173,10 +173,12 @@ def main(argv=None) -> int:
                         help="dump SMEMs per read (reference: main_fastmap)")
     pf.add_argument("index_prefix")
     pf.add_argument("reads")
-    pf.add_argument("-l", type=int, default=19, dest="min_seed_len",
+    pf.add_argument("-l", type=int, default=17, dest="min_seed_len",
                     help="min SMEM length to output")
     pf.add_argument("-w", type=int, default=20, dest="max_occ_out",
-                    help="max occurrences to list per SMEM")
+                    help="max interval size to find coordinates")
+    pf.add_argument("-p", action="store_true", dest="print_seq",
+                    help="print the query sequence on the SQ line")
 
     args = ap.parse_args(argv)
 
@@ -240,7 +242,9 @@ def cmd_ingest(args) -> int:
 def cmd_fastmap(args) -> int:
     """SMEM dump per read (equivalent of the reference's vestigial
     main_fastmap, src/fastmap.c:559-633: 'SQ name len' then one 'EM qb qe
-    n_occ pos...' line per SMEM, '//' terminator)."""
+    n_occ pos...' line per SMEM, '//' terminator). Differentially tested
+    against vanilla `bwa fastmap` (tests/test_fastmap_oracle.py); -i/-I/-L
+    (smem_config knobs) are not implemented."""
     from .index.format import FMIndex
     from .io.fastx import read_fastx
     from .pipeline.aligner import MemAligner
@@ -249,18 +253,30 @@ def cmd_fastmap(args) -> int:
     idx = FMIndex.load(args.index_prefix + ".bmt")
     opt = MemOptions()
     opt.min_seed_len = args.min_seed_len
+    # fastmap iterates PURE round-1 SMEMs (smem_next -> bwt_smem1,
+    # min_intv=1) — no split re-seed / LAST-like rounds
+    opt.full_reseed = False
     al = MemAligner(opt, idx)
     batch: list = []
     lp = idx.l_pac
 
     def flush(batch):
         seeds = al.seed_batch([r.seq for r in batch])
+        from .utils.dna import decode
+
         for rec, sl in zip(batch, seeds):
-            print(f"SQ\t{rec.name}\t{len(rec.seq)}")
+            sq_seq = (f"\t{decode(rec.seq)}" if getattr(
+                args, "print_seq", False) else "")
+            print(f"SQ\t{rec.name}\t{len(rec.seq)}{sq_seq}")
             by_span: dict = {}
             for qb, qe, rb, occ in sl:
                 by_span.setdefault((qb, qe, occ), []).append(rb)
             for (qb, qe, occ), rbs in by_span.items():
+                # vanilla prints coordinates only when the interval fits
+                # under -w, else a bare '*' (src/fastmap.c:612-623)
+                if occ > args.max_occ_out:
+                    print(f"EM\t{qb}\t{qe}\t{occ}\t*")
+                    continue
                 locs = []
                 for rb in rbs[: args.max_occ_out]:
                     fwd = rb < lp
@@ -268,8 +284,7 @@ def cmd_fastmap(args) -> int:
                     rid = idx.ann.pos_to_rid(pos)
                     locs.append(f"{idx.ann.names[rid]}:"
                                 f"{'+-'[not fwd]}{pos - idx.ann.offsets[rid] + 1}")
-                extra = "\t*" if occ > args.max_occ_out else ""
-                print(f"EM\t{qb}\t{qe}\t{occ}\t" + "\t".join(locs) + extra)
+                print(f"EM\t{qb}\t{qe}\t{occ}\t" + "\t".join(locs))
             print("//")
 
     for rec in read_fastx(args.reads):

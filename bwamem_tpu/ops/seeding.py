@@ -303,7 +303,8 @@ def _forward_pass2(fm: DeviceFMIndex, reads, lens, min_seed_len,
 def _compact_global(fields, emit, pool_size):
     """Scatter emitted entries (flat scan order) into a flat pool.
     fields: tuple of (B, N) arrays. Returns (pooled fields, read_id, valid,
-    overflow).
+    need) — `need` is the TOTAL emission count, so the caller can size a
+    retry pool in one jump instead of doubling blind.
 
     ONE index scatter + per-field gathers (instead of one big scatter per
     field — scatters over the (B*(L+1),) emission plane were ~half the
@@ -322,8 +323,7 @@ def _compact_global(fields, emit, pool_size):
     # zero-initialised per-field scatters; downstream masks rely on it)
     pooled = tuple(jnp.where(valid, f.reshape(-1)[src], 0) for f in fields)
     rid = jnp.where(valid, src // N, 0)
-    overflow = dst[-1] + 1 > pool_size
-    return pooled, rid, valid, overflow
+    return pooled, rid, valid, dst[-1] + 1
 
 
 def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
@@ -555,7 +555,8 @@ def _init_single(fm, base):
 
 
 def _compact_flat(fields, emit, cap):
-    """1-D _compact_global: compact flat emissions into a pool of `cap`."""
+    """1-D _compact_global: compact flat emissions into a pool of `cap`.
+    Returns (pooled, valid, need) with `need` the total emission count."""
     P = emit.shape[0]
     dst = jnp.cumsum(emit.astype(jnp.int32), dtype=jnp.int32) - 1
     ok = jnp.logical_and(emit, dst < cap)
@@ -565,8 +566,7 @@ def _compact_flat(fields, emit, cap):
     n = jnp.minimum(dst[-1] + 1, cap)
     valid = jnp.arange(cap, dtype=jnp.int32) < n
     pooled = tuple(jnp.where(valid, f[src], 0) for f in fields)
-    overflow = dst[-1] + 1 > cap
-    return pooled, valid, overflow
+    return pooled, valid, dst[-1] + 1
 
 
 def _seed_strategy_pass(fm, reads, lens, min_len: int, max_intv: int):
@@ -628,8 +628,9 @@ def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
     interval size changes — including the end-of-walk push at read end,
     N bases and below-floor death, exactly the scalar push rules.
 
-    Returns (kb, sb, eb, filled, overflow): (R, E) candidate slot arrays
-    in (lane, end)-ascending order."""
+    Returns (kb, sb, eb, filled, need): (R, E) candidate slot arrays
+    in (lane, end)-ascending order; `need` is the max per-lane emission
+    count (retry sizing: the stage fits when need <= E)."""
     R = lrid.shape[0]
     B, L = reads.shape
     reads_flat = reads.reshape(-1)
@@ -647,7 +648,7 @@ def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
         return jnp.logical_and(jnp.any(alive), j <= L)
 
     def body(st):
-        j, k, l, s, alive, cnt, kb, sb, eb, ovf = st
+        j, k, l, s, alive, cnt, kb, sb, eb = st
         i = lx + j
         inb = i < lens_l
         b = jnp.where(
@@ -666,22 +667,21 @@ def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
         kb = jnp.where(colm, k[:, None], kb)
         sb = jnp.where(colm, s[:, None], sb)
         eb = jnp.where(colm, i[:, None], eb)
-        ovf = jnp.logical_or(ovf, jnp.any(emit & (cnt >= E)))
         cnt = cnt + emit.astype(jnp.int32)
         alive2 = alive & validb & (sn >= lfloor)
         k = jnp.where(alive2, kn, k)
         l = jnp.where(alive2, ln, l)
         s = jnp.where(alive2, sn, s)
-        return j + 1, k, l, s, alive2, cnt, kb, sb, eb, ovf
+        return j + 1, k, l, s, alive2, cnt, kb, sb, eb
 
     st = (jnp.int32(1), k0, l0, s0, alive0,
           jnp.zeros((R,), jnp.int32),
           jnp.zeros((R, E), dt), jnp.zeros((R, E), dt),
-          jnp.zeros((R, E), jnp.int32), jnp.asarray(False))
+          jnp.zeros((R, E), jnp.int32))
     st = jax.lax.while_loop(cond, body, st)
-    _, _, _, _, _, cnt, kb, sb, eb, ovf = st
+    _, _, _, _, _, cnt, kb, sb, eb = st
     filled = colsE < jnp.minimum(cnt, E)[:, None]
-    return kb, sb, eb, filled, ovf
+    return kb, sb, eb, filled, jnp.max(cnt, initial=0)
 
 
 def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size, max_occ):
@@ -734,6 +734,7 @@ def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size, max_occ):
         valid=seed_valid,
         n_seeds=jnp.minimum(total, pool_size),
         overflow=total > pool_size,
+        need=total,
     )
 
 
@@ -844,6 +845,8 @@ def bowtie_seed_batch(fm: DeviceFMIndex, reads, lens, seed_len: int,
     out = _expand_occurrences(
         fm, rid, x0, x0 + seed_len, g(k), g(s), any_ok,
         B * seed_pool, max_occ)
+    cap = B * seed_pool
+    out["over_mult"] = (out["need"].astype(jnp.int32) + (cap - 1)) // cap
     return out
 
 
@@ -853,13 +856,15 @@ def smem_seed_batch_stacked(fm: DeviceFMIndex, reads, lens,
     """smem_seed_batch with the output pool pre-stacked on device: ONE
     (7, P) array, so the host fetch is a single coalesced D2H with no
     eager stacking dispatches. Row 6 packs the scalar head
-    [n_seeds, overflow] into lanes 0/1 (a second tiny D2H costs a full
-    tunnel round-trip, so the scalars ride along in the pool row)."""
+    [n_seeds, overflow, over_mult] into lanes 0/1/2 (a second tiny D2H
+    costs a full tunnel round-trip, so the scalars ride in the pool
+    row)."""
     out = smem_seed_batch(fm, reads, lens, cfg)
     dt = out["rbeg"].dtype
     head_row = jnp.zeros_like(out["rbeg"])
     head_row = head_row.at[0].set(out["n_seeds"].astype(dt))
     head_row = head_row.at[1].set(out["overflow"].astype(dt))
+    head_row = head_row.at[2].set(out["over_mult"].astype(dt))
     pool = jnp.stack(
         [out[k].astype(dt)
          for k in ("read_id", "qbeg", "qend", "rbeg", "n_occ")]
@@ -900,7 +905,7 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
     NP = emit.shape[1]
     end = jnp.broadcast_to(jnp.arange(NP, dtype=jnp.int32), (B, NP))
     cand_cap = B * cfg.cand_pool
-    (start, end, k, s), rid, valid, c_over = _compact_global(
+    (start, end, k, s), rid, valid, c_need = _compact_global(
         (start, end, k, s), emit, cand_cap)
     if cfg.mode == "fwdmem":
         # forward-only MEMs: no left extension, segments are disjoint
@@ -915,7 +920,12 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         else:
             keep = _containment_filter(qbeg, end, rid, valid,
                                        cfg.min_seed_len)
-    over = c_over
+    # retry sizing: the largest (need / cap) ratio over every pooled
+    # stage, so ONE retry jumps straight to a fitting config instead of
+    # doubling blind (each retry is a full re-seed pass + a new
+    # executable on device)
+    _cd = lambda need, cap: (need.astype(jnp.int32) + (cap - 1)) // cap
+    mult = _cd(c_need, cand_cap)
     if cfg.reseed and cfg.mode == "smem":
         # vanilla bwa's rounds 2+3 (bwa_index/bwamem.c:129-159); the
         # merged interval list is re-sorted to vanilla's (qbeg, qend)
@@ -926,9 +936,9 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         split_len = int(cfg.min_seed_len * cfg.split_factor + 0.499)
         qualify = keep & (end - qbeg >= split_len) & (s <= cfg.split_width)
         lane_cap = B * cfg.r2_pool
-        (lrid, lx, lfloor), lvalid, l_over = _compact_flat(
+        (lrid, lx, lfloor), lvalid, l_need = _compact_flat(
             (rid, (qbeg + end) >> 1, (s + 1).astype(dt)), qualify, lane_cap)
-        kb, sb, eb, filled, f_over = _reseed_forward(
+        kb, sb, eb, filled, f_need = _reseed_forward(
             fm, reads, lens, lrid, lx, lfloor, lvalid, cfg.min_seed_len,
             cfg.r2_emit)
         E = cfg.r2_emit
@@ -936,7 +946,7 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
                                           ).reshape(-1)
         lane_ids = flat(jnp.arange(lane_cap, dtype=jnp.int32))
         cand2_cap = B * cfg.r2_cand
-        (rid2, lane2, x2, floor2, k2, s2, end2), v2, c2_over = _compact_flat(
+        (rid2, lane2, x2, floor2, k2, s2, end2), v2, c2_need = _compact_flat(
             (flat(lrid), lane_ids, flat(lx), flat(lfloor),
              kb.reshape(-1), sb.reshape(-1), eb.reshape(-1)),
             filled.reshape(-1), cand2_cap)
@@ -945,7 +955,10 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
                             floor=floor2, group=lane2)
         keep2 = _containment_filter(qb2, end2, lane2, v2, cfg.min_seed_len)
         parts.append((rid2, qb2, end2, k2e, s2e, keep2))
-        over = over | l_over | f_over | c2_over
+        mult = jnp.maximum(
+            mult, jnp.maximum(
+                _cd(l_need, lane_cap),
+                jnp.maximum(_cd(f_need, E), _cd(c2_need, cand2_cap))))
         # ---- round 3: LAST-like forward seeds ----
         if cfg.max_mem_intv > 0:
             if r3_planes is not None:  # fused into the round-1 scan
@@ -958,12 +971,12 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
                 jnp.arange(B, dtype=jnp.int32)[:, None], (B, L3))
             end3_p = jnp.broadcast_to(
                 jnp.arange(L3, dtype=jnp.int32)[None, :] + 1, (B, L3))
-            (rid3, qb3, end3, k3, s3), v3, c3_over = _compact_flat(
+            (rid3, qb3, end3, k3, s3), v3, c3_need = _compact_flat(
                 (rid3_p.reshape(-1), x3p.reshape(-1), end3_p.reshape(-1),
                  k3p.reshape(-1), s3p.reshape(-1)),
                 emit3.reshape(-1), B * cfg.r3_pool)
             parts.append((rid3, qb3, end3, k3, s3, v3 & (s3 > 0)))
-            over = over | c3_over
+            mult = jnp.maximum(mult, _cd(c3_need, B * cfg.r3_pool))
         # ---- merge + vanilla (qbeg, qend) interval sort ----
         cols = list(zip((rid, qbeg, end, k.astype(dt), s.astype(dt), keep),
                         *parts))
@@ -982,5 +995,7 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
             a[perm] for a in (rid_m, qb_m, end_m, k_m, s_m, keep_m))
     out = _expand_occurrences(
         fm, rid, qbeg, end, k, s, keep, B * cfg.seed_pool, cfg.max_occ)
-    out["overflow"] = jnp.logical_or(out["overflow"], over)
+    mult = jnp.maximum(mult, _cd(out["need"], B * cfg.seed_pool))
+    out["over_mult"] = mult
+    out["overflow"] = mult > 1
     return out

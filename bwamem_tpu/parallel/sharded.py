@@ -111,13 +111,15 @@ def sharded_seed_batch(mesh: Mesh, fm: DeviceFMIndex, reads, lens, cfg,
         # The previous all_gather here was O(global pool) ICI traffic per
         # chip per step — the wrong shape for a pod slice.
         n_seeds = jax.lax.psum(out.pop("n_seeds"), axis)
-        overflow = jax.lax.psum(
-            out.pop("overflow").astype(jnp.int32), axis) > 0
-        return out, (n_seeds, overflow)
+        out.pop("need", None)
+        over_mult = jax.lax.pmax(out.pop("over_mult"), axis)
+        out.pop("overflow")
+        return out, (n_seeds, over_mult)
 
-    out, (n_seeds, overflow) = jax.jit(step)(fm, reads, lens)
+    out, (n_seeds, over_mult) = jax.jit(step)(fm, reads, lens)
     out["n_seeds"] = n_seeds
-    out["overflow"] = overflow
+    out["over_mult"] = over_mult
+    out["overflow"] = over_mult > 1
     return out
 
 

@@ -404,13 +404,15 @@ class MemAligner:
                     + [raw["valid"].astype(dt)])
                 head_d = jnp.stack(
                     [raw["n_seeds"].astype(jnp.int32),
-                     raw["overflow"].astype(jnp.int32)])
+                     raw["overflow"].astype(jnp.int32),
+                     raw["over_mult"].astype(jnp.int32)])
                 pool = np.asarray(pool_d)
                 head = np.asarray(head_d)
             return dict(read_id=pool[0], qbeg=pool[1], qend=pool[2],
                         rbeg=pool[3], n_occ=pool[4],
                         valid=pool[5].astype(bool),
-                        n_seeds=head[0], overflow=head[1] > 0)
+                        n_seeds=head[0], overflow=head[1] > 0,
+                        over_mult=max(int(head[2]), 1))
 
         # seed counts grow linearly with read length: pre-scale the pools
         # for long-read chunks so the first one doesn't pay 3-4 overflow
@@ -438,16 +440,24 @@ class MemAligner:
             if not bool(out["overflow"]) or self.seed_cfg.cand_pool >= 4096:
                 break
             import sys
+            # one-jump resize: the launch reports the worst need/cap
+            # ratio over its pooled stages, so the retry goes straight to
+            # a fitting power-of-two config (each blind doubling would
+            # cost a full re-seed pass + a new executable). Stage needs
+            # can grow once upstream truncation is lifted, so the loop
+            # stays — it just converges in ~1 retry instead of ~log2.
+            m = 1 << max(int(out["over_mult"]) - 1, 1).bit_length()
+            m = max(2, min(m, 4096 // self.seed_cfg.cand_pool))
             self.seed_cfg = _dc_replace(
                 self.seed_cfg,
-                cand_pool=self.seed_cfg.cand_pool * 2,
-                seed_pool=self.seed_cfg.seed_pool * 2,
-                r2_pool=self.seed_cfg.r2_pool * 2,
-                r2_emit=self.seed_cfg.r2_emit * 2,
-                r2_cand=self.seed_cfg.r2_cand * 2,
-                r3_pool=self.seed_cfg.r3_pool * 2)
-            print(f"[bwamem-tpu] seed pool overflow; retrying with "
-                  f"cand_pool={self.seed_cfg.cand_pool}, "
+                cand_pool=self.seed_cfg.cand_pool * m,
+                seed_pool=self.seed_cfg.seed_pool * m,
+                r2_pool=self.seed_cfg.r2_pool * m,
+                r2_emit=self.seed_cfg.r2_emit * m,
+                r2_cand=self.seed_cfg.r2_cand * m,
+                r3_pool=self.seed_cfg.r3_pool * m)
+            print(f"[bwamem-tpu] seed pool overflow (need {m}x); "
+                  f"retrying with cand_pool={self.seed_cfg.cand_pool}, "
                   f"seed_pool={self.seed_cfg.seed_pool}", file=sys.stderr)
         if bool(out["overflow"]):
             # spill path: pools are at their per-read cap and STILL
