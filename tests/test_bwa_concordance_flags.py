@@ -50,7 +50,7 @@ def world(tmp_path_factory):
     write_fastq(fq1, [a for a, _ in pairs])
     write_fastq(fq2, [b for _, b in pairs])
     ensure_oracle()
-    return d, fasta, fq, (fq1, fq2), len(reads), len(pairs)
+    return d, fasta, fq, (fq1, fq2), len(reads), len(pairs), contigs
 
 
 # (id, extra CLI flags — identical for both tools, SE agreement floor)
@@ -73,7 +73,7 @@ SE_CELLS = [
 @pytest.mark.parametrize("name,flags,floor",
                          SE_CELLS, ids=[c[0] for c in SE_CELLS])
 def test_se_flag_cell(world, name, flags, floor):
-    d, fasta, fq, _, n_reads, _ = world
+    d, fasta, fq, _, n_reads, _, _ = world
     theirs = parse_sam(run_vanilla_bwa(d, fasta, fq, extra=tuple(flags)))
     ours = parse_sam(run_ours(d, fasta, fq, extra=tuple(flags)))
     rep = compare(ours, theirs, 150)
@@ -81,6 +81,28 @@ def test_se_flag_cell(world, name, flags, floor):
     assert rep["agree_pct"] >= floor, (name, rep["counts"],
                                        rep["examples"].get("diff"))
     assert rep["mapq_within_5"] >= 96.0, (name, rep["mapq_delta"])
+
+
+def test_longread_pacbio_preset(world):
+    """-x pacbio on 1 kbp 10%-error reads: the preset rewires scoring
+    (A1 B1 O1 E1 L0), seeding (k17, split_factor 10) and chain filtering
+    (min_chain_weight 40) all at once — reference mode block
+    src/fastmap.c:358-374 — and routes the banded long-read kernel, so
+    one cell covers the whole preset plumbing against the oracle."""
+    d, fasta, _, _, _, _, contigs = world
+    rng = np.random.default_rng(91)
+    reads = simulate_reads(rng, contigs, 40, read_len=1000,
+                           sub=0.04, ins=0.03, dele=0.03, prefix="pb")
+    fq = os.path.join(d, "pb.fq")
+    write_fastq(fq, reads)
+    theirs = parse_sam(run_vanilla_bwa(d, fasta, fq,
+                                       extra=("-x", "pacbio")))
+    ours = parse_sam(run_ours(d, fasta, fq, extra=("-x", "pacbio")))
+    rep = compare(ours, theirs, 1000)
+    assert rep["total"] == len(reads), rep["counts"]
+    assert rep["agree_pct"] >= 95.0, (rep["counts"],
+                                      rep["examples"].get("diff"))
+    assert rep["mapq_within_5"] >= 95.0, rep["mapq_delta"]
 
 
 PE_CELLS = [
@@ -93,7 +115,7 @@ PE_CELLS = [
 @pytest.mark.parametrize("name,flags,floor",
                          PE_CELLS, ids=[c[0] for c in PE_CELLS])
 def test_pe_flag_cell(world, name, flags, floor):
-    d, fasta, _, (fq1, fq2), _, n_pairs = world
+    d, fasta, _, (fq1, fq2), _, n_pairs, _ = world
     theirs = parse_sam(run_vanilla_bwa(d, fasta, fq1, fq2,
                                        extra=tuple(flags)))
     ours = parse_sam(run_ours(d, fasta, fq1, fq2, extra=tuple(flags)))
