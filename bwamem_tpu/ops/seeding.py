@@ -412,7 +412,65 @@ def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
     state = jax.lax.fori_loop(
         0, min(FIXED_TRIPS, L), lambda _, st: make_body(True)(st), state)
     qb, kk, ss, _, _ = jax.lax.while_loop(cond, make_body(False), state)
-    return qb, kk, ss
+    # signature twin of _backward_pass2: no text path here (this variant
+    # only serves indexes without the occ2 table), so no direct rbeg
+    return qb, kk, ss, jnp.full_like(kk, -1)
+
+
+def _text_extend_left(fm: DeviceFMIndex, reads, rid, qb, kk, to_text):
+    """Finish s==1 lanes by direct text comparison.
+
+    Once a backward walk's interval is a single row, the suffix is
+    unique: left-maximality is just the longest common suffix of
+    read[:qb] and text[:p0], where p0 (the lone occurrence's start) comes
+    from ONE bounded SA walk. Each trip compares 16 bases with one
+    independent word-granular gather per side, where the FM walk pays a
+    DEPENDENT occ2 gather per 2 bases — and one long unique lane no
+    longer holds the whole while_loop hostage. Conceptual twin of the
+    reference's bounded SA-resolution in locate_seeds_gpu
+    (src/GPUSeed/seed_gen.cu:520-663); the unique-suffix shortcut itself
+    has no reference counterpart (ROADMAP item: unique-suffix text walk).
+
+    Returns (qb_final, rbeg_direct); rbeg_direct = -1 on non-text lanes
+    (their SA resolution happens in _expand_occurrences as before).
+    """
+    from .refgather import gather_bases
+
+    B, L = reads.shape
+    reads_flat = reads.reshape(-1)
+    dt = fmops.idx_dt(fm)
+    p0 = fmops.sa_lookup_batch(fm, jnp.where(to_text, kk, 0).astype(dt))
+    ar = jnp.arange(16, dtype=jnp.int32)[None, :]
+    max_trips = jnp.int32((L + 15) // 16 + 1)
+
+    def cond(st):
+        _, _, alive, it = st
+        return jnp.logical_and(jnp.any(alive), it < max_trips)
+
+    def body(st):
+        qb_c, rb_c, alive, it = st
+        tpos = rb_c[:, None].astype(dt) - 1 - ar.astype(dt)
+        rpos = qb_c[:, None] - 1 - ar
+        tc = gather_bases(fm, tpos)
+        rc = jnp.where(
+            rpos >= 0,
+            reads_flat[jnp.clip(rid[:, None] * L + rpos, 0, B * L - 1)],
+            4)
+        ok = (alive[:, None] & (tc == rc) & (rc < 4) & (tc < 4)
+              & (rpos >= 0) & (tpos >= 0))
+        # matched-prefix length of this 16-base block (prefix-AND + sum)
+        run = jnp.cumprod(ok.astype(jnp.int32), axis=1, dtype=jnp.int32)
+        m = run.sum(axis=1, dtype=jnp.int32)
+        qb_c = qb_c - jnp.where(alive, m, 0)
+        rb_c = rb_c - jnp.where(alive, m, 0).astype(rb_c.dtype)
+        alive = jnp.logical_and(alive, m == 16)
+        return qb_c, rb_c, alive, it + 1
+
+    qbf, rbf, _, _ = jax.lax.while_loop(
+        cond, body, (qb, p0, to_text, jnp.int32(0)))
+    neg1 = jnp.asarray(-1, dt)
+    return (jnp.where(to_text, qbf, qb),
+            jnp.where(to_text, rbf, neg1))
 
 
 def _backward_pass2(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
@@ -424,11 +482,22 @@ def _backward_pass2(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
     death point (odd-length extension). Post-containment-filter results
     are identical to _backward_pass; raw walks may differ only on
     early-killed (contained) lanes, whose frozen qb can never win the
-    strictly-below suffix-min test against their surviving neighbour."""
+    strictly-below suffix-min test against their surviving neighbour.
+
+    Lanes that reach s == 1 (only possible at floor 1) leave the FM loop
+    and finish on the text path (_text_extend_left); they return a
+    direct rbeg and their k is left stale (consumers use rbeg instead).
+    Early-kill interplay: a frozen s==1 lane and a walker converging on
+    its state represent the same string, so the kill stays sound — and a
+    `same`-killed s==1 lane still text-walks to its true maximal qb,
+    where it ties (never strictly undercuts) its longer keeper and is
+    dropped by the containment filter exactly as its frozen qb was.
+    Returns (qbeg, k, s, rbeg_direct)."""
     B, L = reads.shape
     reads_flat = reads.reshape(-1)
     floor = jnp.ones_like(s) if floor is None else floor.astype(s.dtype)
     group = rid if group is None else group
+    textable = jnp.logical_and(valid, floor <= 1)
 
     FT2 = 9  # pair trips in the no-cond phase (covers 18 bases; p100
     #          single-step walk = 17 on 1%-error reads)
@@ -473,6 +542,9 @@ def _backward_pass2(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
             # a lane survives only via the pair step; a single step is the
             # death-point fix-up (the next prepend is already known dead)
             done = jnp.logical_not(ok2)
+            # unique suffix: hand the lane to the text path (maximal left
+            # extension by direct comparison; see _text_extend_left)
+            done = jnp.logical_or(done, jnp.logical_and(textable, ss == 1))
             # early kill: contained candidate converged with its longer
             # neighbour (same as _backward_pass)
             nxt = lambda a: jnp.concatenate([a[1:], a[-1:]])
@@ -486,12 +558,15 @@ def _backward_pass2(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
 
         return body
 
-    done0 = jnp.logical_not(valid)
+    done0 = jnp.logical_or(jnp.logical_not(valid),
+                           jnp.logical_and(textable, s == 1))
     state = (qbeg, k, s, done0, jnp.int32(0))
     state = jax.lax.fori_loop(
         0, min(FT2, (L + 1) // 2), lambda _, st: make_body(True)(st), state)
     qb, kk, ss, _, _ = jax.lax.while_loop(cond, make_body(False), state)
-    return qb, kk, ss
+    to_text = jnp.logical_and(textable, ss == 1)
+    qb, rdir = _text_extend_left(fm, reads, rid, qb, kk, to_text)
+    return qb, kk, ss, rdir
 
 
 def _segmented_suffix_min(v, seg):
@@ -684,7 +759,13 @@ def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
     return kb, sb, eb, filled, jnp.max(cnt, initial=0)
 
 
-def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size, max_occ):
+def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size,
+                        max_occ, rdir=None):
+    """rdir: optional (P,) direct rbeg for unique candidates finished on
+    the text path (_text_extend_left) — their k is stale, so the SA walk
+    result is overridden by the known occurrence start. -1 = resolve via
+    SA as usual (such lanes always have count == 1, so only off == 0
+    slots can carry a direct value)."""
     P = qbeg.shape[0]
     s_v = jnp.where(keep, s, 0)
     step = jnp.where(s_v > max_occ, s_v // max_occ, 1)
@@ -707,10 +788,12 @@ def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size, max_occ):
     cand = jnp.clip(cand, 0, P - 1)
     seed_valid = t < jnp.minimum(total, pool_size)
     # ONE fused row gather serves every per-candidate field
+    if rdir is None:
+        rdir = jnp.full_like(k, -1)
     tbl = jnp.stack(
         [cum_excl.astype(k.dtype), k, step.astype(k.dtype),
          rid.astype(k.dtype), qbeg.astype(k.dtype), qend.astype(k.dtype),
-         s.astype(k.dtype)], axis=1)
+         s.astype(k.dtype), rdir.astype(k.dtype)], axis=1)
     got = tbl[cand]
     off = t - got[:, 0].astype(jnp.int32)
     rows = jnp.where(seed_valid, got[:, 1] + off.astype(k.dtype) * got[:, 2],
@@ -725,6 +808,7 @@ def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size, max_occ):
     # gather per trip outweighs the halved trip count at sa_intv=8), so
     # SA resolution stays single-step even when the pair table exists.
     rbeg = fmops.sa_lookup_batch(fm, rows)
+    rbeg = jnp.where(got[:, 7] >= 0, got[:, 7], rbeg)
     return dict(
         read_id=jnp.where(seed_valid, fields["rid"], -1),
         rbeg=jnp.where(seed_valid, rbeg, -1),
@@ -910,11 +994,12 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
     if cfg.mode == "fwdmem":
         # forward-only MEMs: no left extension, segments are disjoint
         qbeg = start
+        rdir = jnp.full_like(k, -1)
         keep = jnp.logical_and(valid,
                                end - qbeg >= cfg.min_seed_len)
     else:
         bw = _backward_pass2 if fm.has_occ2 else _backward_pass
-        qbeg, k, s = bw(fm, reads, rid, start, k, s, valid)
+        qbeg, k, s, rdir = bw(fm, reads, rid, start, k, s, valid)
         if cfg.mode == "mem":
             keep = _dup_filter(qbeg, rid, s, valid, end, cfg.min_seed_len)
         else:
@@ -951,10 +1036,10 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
              kb.reshape(-1), sb.reshape(-1), eb.reshape(-1)),
             filled.reshape(-1), cand2_cap)
         bw2 = _backward_pass2 if fm.has_occ2 else _backward_pass
-        qb2, k2e, s2e = bw2(fm, reads, rid2, x2, k2, s2, v2,
-                            floor=floor2, group=lane2)
+        qb2, k2e, s2e, rdir2 = bw2(fm, reads, rid2, x2, k2, s2, v2,
+                                   floor=floor2, group=lane2)
         keep2 = _containment_filter(qb2, end2, lane2, v2, cfg.min_seed_len)
-        parts.append((rid2, qb2, end2, k2e, s2e, keep2))
+        parts.append((rid2, qb2, end2, k2e, s2e, keep2, rdir2))
         mult = jnp.maximum(
             mult, jnp.maximum(
                 _cd(l_need, lane_cap),
@@ -975,14 +1060,16 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
                 (rid3_p.reshape(-1), x3p.reshape(-1), end3_p.reshape(-1),
                  k3p.reshape(-1), s3p.reshape(-1)),
                 emit3.reshape(-1), B * cfg.r3_pool)
-            parts.append((rid3, qb3, end3, k3, s3, v3 & (s3 > 0)))
+            parts.append((rid3, qb3, end3, k3, s3, v3 & (s3 > 0),
+                          jnp.full_like(k3, -1)))
             mult = jnp.maximum(mult, _cd(c3_need, B * cfg.r3_pool))
         # ---- merge + vanilla (qbeg, qend) interval sort ----
-        cols = list(zip((rid, qbeg, end, k.astype(dt), s.astype(dt), keep),
+        cols = list(zip((rid, qbeg, end, k.astype(dt), s.astype(dt), keep,
+                         rdir.astype(dt)),
                         *parts))
-        rid_m, qb_m, end_m, k_m, s_m, keep_m = (
+        rid_m, qb_m, end_m, k_m, s_m, keep_m, rdir_m = (
             jnp.concatenate([c.astype(cols[i][0].dtype) for c in cols[i]])
-            for i in range(6))
+            for i in range(7))
         span = jnp.int64(L + 2)
         key = jnp.where(
             keep_m,
@@ -991,10 +1078,11 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
             + jnp.clip(end_m, 0, L + 1).astype(jnp.int64),
             jnp.int64(1) << 62)
         perm = jnp.argsort(key)
-        rid, qbeg, end, k, s, keep = (
-            a[perm] for a in (rid_m, qb_m, end_m, k_m, s_m, keep_m))
+        rid, qbeg, end, k, s, keep, rdir = (
+            a[perm] for a in (rid_m, qb_m, end_m, k_m, s_m, keep_m, rdir_m))
     out = _expand_occurrences(
-        fm, rid, qbeg, end, k, s, keep, B * cfg.seed_pool, cfg.max_occ)
+        fm, rid, qbeg, end, k, s, keep, B * cfg.seed_pool, cfg.max_occ,
+        rdir=rdir)
     mult = jnp.maximum(mult, _cd(out["need"], B * cfg.seed_pool))
     out["over_mult"] = mult
     out["overflow"] = mult > 1
