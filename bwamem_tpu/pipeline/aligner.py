@@ -335,7 +335,11 @@ class MemAligner:
         (qbeg/qend/rbeg/n_occ) + per-read bounds, in (read, qend, SA-rank)
         order."""
         B = bucket_count(len(seqs))
-        L = bucket_len(max(len(s) for s in seqs))
+        # finer grid than the extension tiles: the forward scan's SERIAL
+        # trip chain is ~L/2, so padding 150->192 would cost 20% latency
+        from ..utils.shapes import bucket_read_len
+
+        L = bucket_read_len(max(len(s) for s in seqs))
         # int8 staging: sequence codes cast to int32 in-graph on device,
         # so host->device traffic shrinks 4x (stall exposure likewise)
         reads = np.full((B, L), 4, np.int8)

@@ -26,3 +26,18 @@ def bucket_count(n: int, minimum: int = 16) -> int:
     """Round a batch dim up to the {2^k, 1.5*2^k} grid (padding lanes are
     masked dead; ~17% worst-case waste beats a recompile)."""
     return bucket_len(n, minimum)
+
+
+def bucket_read_len(n: int) -> int:
+    """Finer grid (multiples of 32 up to 512, then the coarse grid) for
+    the SEEDING read-length dim only. The forward scan's serial
+    dependent-gather chain is proportional to this dim — the coarse grid
+    pads 150 bp reads to 192 (96 pair trips where 151 positions need
+    76); this grid pads to 160 (80 trips). Real datasets carry one or
+    two read lengths, so the larger executable family stays tiny.
+    Extension tiles keep the coarse grid: their padded dims cost
+    throughput, not serial latency, and their length spread is wide."""
+    n = max(int(n), 32)
+    if n <= 512:
+        return (n + 31) & ~31
+    return bucket_len(n)

@@ -123,3 +123,38 @@ def test_pe_flag_cell(world, name, flags, floor):
     assert rep["total"] == 2 * n_pairs, (name, rep["counts"])
     assert rep["agree_pct"] >= floor, (name, rep["counts"],
                                        rep["examples"].get("diff"))
+
+
+def test_pe_interleaved_smart_pairing(world):
+    """-p (smart pairing): one interleaved file must produce the same
+    alignments both tools get from the two-file form (reference:
+    MEM_F_SMARTPE, src/fastmap.c:175)."""
+    d, fasta, _, (fq1, fq2), _, n_pairs, _ = world
+    inter = os.path.join(d, "inter.fq")
+    with open(fq1) as a, open(fq2) as b, open(inter, "w") as o:
+        while True:
+            ra = [a.readline() for _ in range(4)]
+            rb = [b.readline() for _ in range(4)]
+            if not ra[0]:
+                break
+            o.writelines(ra)
+            o.writelines(rb)
+    theirs = parse_sam(run_vanilla_bwa(d, fasta, inter, extra=("-p",)))
+    ours = parse_sam(run_ours(d, fasta, inter, extra=("-p",)))
+    rep = compare(ours, theirs, 150)
+    assert rep["total"] == 2 * n_pairs, rep["counts"]
+    assert rep["agree_pct"] >= 99.0, (rep["counts"],
+                                      rep["examples"].get("diff"))
+
+
+def test_pe_fixed_insert_model(world):
+    """-I mean,std: the fixed insert-size model replaces chunk inference
+    (pes0, reference: src/fastmap.c:230-247) in both tools."""
+    d, fasta, _, (fq1, fq2), _, n_pairs, _ = world
+    theirs = parse_sam(run_vanilla_bwa(d, fasta, fq1, fq2,
+                                       extra=("-I", "350,50")))
+    ours = parse_sam(run_ours(d, fasta, fq1, fq2, extra=("-I", "350,50")))
+    rep = compare(ours, theirs, 150)
+    assert rep["total"] == 2 * n_pairs, rep["counts"]
+    assert rep["agree_pct"] >= 99.0, (rep["counts"],
+                                      rep["examples"].get("diff"))
