@@ -474,7 +474,7 @@ def _text_extend_left(fm: DeviceFMIndex, reads, rid, qb, kk, to_text):
 
 
 def _backward_pass2(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
-                    floor=None, group=None):
+                    floor=None, group=None, text_walk=True):
     """2-step variant of _backward_pass over the dinucleotide occ2 table:
     each trip prepends a base PAIR with one fused row-gather pass (half
     the serial pass chain of the per-base walk); the pair query's same
@@ -564,6 +564,8 @@ def _backward_pass2(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
     state = jax.lax.fori_loop(
         0, min(FT2, (L + 1) // 2), lambda _, st: make_body(True)(st), state)
     qb, kk, ss, _, _ = jax.lax.while_loop(cond, make_body(False), state)
+    if not text_walk:
+        return qb, kk, ss, jnp.full_like(kk, -1)
     to_text = jnp.logical_and(textable, ss == 1)
     qb, rdir = _text_extend_left(fm, reads, rid, qb, kk, to_text)
     return qb, kk, ss, rdir
@@ -1036,8 +1038,11 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
              kb.reshape(-1), sb.reshape(-1), eb.reshape(-1)),
             filled.reshape(-1), cand2_cap)
         bw2 = _backward_pass2 if fm.has_occ2 else _backward_pass
+        # floors here are >= 2, so no lane can ever qualify for the
+        # text path — skip its SA-anchor chain statically
         qb2, k2e, s2e, rdir2 = bw2(fm, reads, rid2, x2, k2, s2, v2,
-                                   floor=floor2, group=lane2)
+                                   floor=floor2, group=lane2,
+                                   text_walk=False)
         keep2 = _containment_filter(qb2, end2, lane2, v2, cfg.min_seed_len)
         parts.append((rid2, qb2, end2, k2e, s2e, keep2, rdir2))
         mult = jnp.maximum(
