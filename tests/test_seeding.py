@@ -98,3 +98,60 @@ def test_gather_window_fast_matches_per_base(tiny_index):
         fm, s[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]))
     got = np.asarray(gather_window_fast(fm, s, L))
     np.testing.assert_array_equal(got, want)
+
+
+def test_text_walk_edges(tiny_index):
+    """Deterministic edge cases for the unique-suffix text walk
+    (_text_extend_left): a unique read must back-extend across the whole
+    read (match hits READ start), a read at position 0 must stop at TEXT
+    start, a read whose left flank mismatches at a known base must stop
+    exactly there, an embedded N must bound the extension, and a
+    reverse-strand read exercises the doubled-coordinate mapping. Each
+    case compares the full (qbeg, qend, rbeg, n_occ) seed list to the
+    FM oracle, so a text/FM disagreement in either qbeg or the direct
+    rbeg fails loudly."""
+    g, idx = tiny_index
+    orc = FMOracle(idx)
+
+    reads = []
+    exact = g[500:580].copy()           # unique: extends to read start
+    reads.append(exact)
+    at_zero = g[0:70].copy()            # occurrence at text position 0
+    reads.append(at_zero)
+    mism = g[700:790].copy()
+    mism[30] = (mism[30] + 2) % 4       # walk from the right stops at 30
+    reads.append(mism)
+    withn = g[900:980].copy()
+    withn[25] = 4                       # N bounds both segments
+    reads.append(withn)
+    rev = (3 - g[1200:1290])[::-1].copy()   # reverse strand, unique
+    reads.append(rev)
+    tail = g[2000 - 64:2000].copy()     # occurrence ends at text end
+    reads.append(tail)
+
+    got_all = _run_batch(idx, reads, min_seed_len=15)
+    for b, q in enumerate(reads):
+        assert got_all[b] == oracle_seeds(orc, q, 15, 500), f"case {b}"
+
+
+def test_text_walk_repeat_lanes_stay_fm(tiny_index):
+    """Reads inside an exact repeat keep s > 1 to the walk's end — the
+    text path must not fire for them (they resolve via the expansion SA
+    walk as before) while mixed unique/repeat batches stay exact."""
+    g, idx0 = tiny_index
+    from bwamem_tpu.index.build import build_index_from_codes
+    from bwamem_tpu.index.format import Annotation
+
+    g2 = g.copy()
+    g2[1500:1580] = g2[100:180]         # plant an exact 80 bp duplicate
+    ann = Annotation(names=["chr1"], lengths=[len(g2)], offsets=[0])
+    idx = build_index_from_codes(g2, ann, sa_intv=8)
+    orc = FMOracle(idx)
+    reads = [g2[110:170].copy(),        # inside the repeat: s == 2
+             g2[400:460].copy()]        # unique control
+    got_all = _run_batch(idx, reads, min_seed_len=15)
+    for b, q in enumerate(reads):
+        exp = oracle_seeds(orc, q, 15, 500)
+        assert got_all[b] == exp, f"case {b}"
+        if b == 0:
+            assert all(occ == 2 for _, _, _, occ in exp)
