@@ -705,6 +705,11 @@ def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
     interval size changes — including the end-of-walk push at read end,
     N bases and below-floor death, exactly the scalar push rules.
 
+    On occ2 indexes each trip appends a base PAIR from ONE fused gather
+    (fmops.forward_ext2_batch, the same trick as the round-1 scan),
+    emitting both positions' candidates — half the serial trip chain;
+    the per-base body remains for indexes without the pair table.
+
     Returns (kb, sb, eb, filled, need): (R, E) candidate slot arrays
     in (lane, end)-ascending order; `need` is the max per-lane emission
     count (retry sizing: the stage fits when need <= E)."""
@@ -724,38 +729,70 @@ def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
         j, _, _, _, alive = st[:5]
         return jnp.logical_and(jnp.any(alive), j <= L)
 
+    def fetch(i):
+        return jnp.where(
+            i < lens_l,
+            reads_flat[jnp.clip(lrid * L + jnp.minimum(i, L - 1),
+                                0, B * L - 1)], 4)
+
+    def push(kb, sb, eb, cnt, emit, kv, sv, ev):
+        can = emit & (cnt < E)
+        colm = (colsE == cnt[:, None]) & can[:, None]
+        kb = jnp.where(colm, kv[:, None], kb)
+        sb = jnp.where(colm, sv[:, None], sb)
+        eb = jnp.where(colm, ev[:, None], eb)
+        return kb, sb, eb, cnt + emit.astype(jnp.int32)
+
     def body(st):
         j, k, l, s, alive, cnt, kb, sb, eb = st
         i = lx + j
-        inb = i < lens_l
-        b = jnp.where(
-            inb,
-            reads_flat[jnp.clip(lrid * L + jnp.minimum(i, L - 1),
-                                0, B * L - 1)], 4)
-        validb = inb & (b < 4)
+        b = fetch(i)
+        validb = (i < lens_l) & (b < 4)
         k4, l4, s4 = fmops.forward_ext4_batch(fm, k, l, s)
         bc = jnp.clip(b, 0, 3)
         kn = _sel4m(k4, bc)
         ln = _sel4m(l4, bc)
         sn = jnp.where(validb & alive, _sel4m(s4, bc), 0)
         emit = alive & (sn != s) & (i >= min_seed_len)
-        can = emit & (cnt < E)
-        colm = (colsE == cnt[:, None]) & can[:, None]
-        kb = jnp.where(colm, k[:, None], kb)
-        sb = jnp.where(colm, s[:, None], sb)
-        eb = jnp.where(colm, i[:, None], eb)
-        cnt = cnt + emit.astype(jnp.int32)
+        kb, sb, eb, cnt = push(kb, sb, eb, cnt, emit, k, s, i)
         alive2 = alive & validb & (sn >= lfloor)
         k = jnp.where(alive2, kn, k)
         l = jnp.where(alive2, ln, l)
         s = jnp.where(alive2, sn, s)
         return j + 1, k, l, s, alive2, cnt, kb, sb, eb
 
+    def body2(st):
+        j, k, l, s, alive, cnt, kb, sb, eb = st
+        i1 = lx + j
+        i2 = i1 + 1
+        b1 = fetch(i1)
+        b2 = fetch(i2)
+        v1 = (i1 < lens_l) & (b1 < 4)
+        v2 = (i2 < lens_l) & (b2 < 4)
+        (k1, l1, s1), (k2, l2, s2) = fmops.forward_ext2_batch(
+            fm, k, l, s, jnp.clip(b1, 0, 3), jnp.clip(b2, 0, 3))
+        # sub-step 1 (position i1): emit against the pre-pair state
+        s1n = jnp.where(v1 & alive, s1, 0)
+        emit1 = alive & (s1n != s) & (i1 >= min_seed_len)
+        kb, sb, eb, cnt = push(kb, sb, eb, cnt, emit1, k, s, i1)
+        alive1 = alive & v1 & (s1n >= lfloor)
+        # sub-step 2 (position i2): only lanes that survived sub-step 1
+        s2n = jnp.where(v2 & alive1, s2, 0)
+        emit2 = alive1 & (s2n != s1n) & (i2 >= min_seed_len)
+        kb, sb, eb, cnt = push(kb, sb, eb, cnt, emit2, k1, s1n, i2)
+        alive2 = alive1 & v2 & (s2n >= lfloor)
+        # freeze-on-death: a lane dead at sub-step 1 keeps the pre-pair
+        # state; dead at sub-step 2 keeps the after-one-append state
+        k = jnp.where(alive2, k2, jnp.where(alive1, k1, k))
+        l = jnp.where(alive2, l2, jnp.where(alive1, l1, l))
+        s = jnp.where(alive2, s2n, jnp.where(alive1, s1n, s))
+        return j + 2, k, l, s, alive2, cnt, kb, sb, eb
+
     st = (jnp.int32(1), k0, l0, s0, alive0,
           jnp.zeros((R,), jnp.int32),
           jnp.zeros((R, E), dt), jnp.zeros((R, E), dt),
           jnp.zeros((R, E), jnp.int32))
-    st = jax.lax.while_loop(cond, body, st)
+    st = jax.lax.while_loop(cond, body2 if fm.has_occ2 else body, st)
     _, _, _, _, _, cnt, kb, sb, eb = st
     filled = colsE < jnp.minimum(cnt, E)[:, None]
     return kb, sb, eb, filled, jnp.max(cnt, initial=0)
