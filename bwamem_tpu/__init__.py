@@ -38,16 +38,34 @@ _jax.config.update("jax_enable_x64", True)
 # shape-bucketed, so the cache converges after a few runs).
 import os as _os
 
-# The dir is keyed by hostname: CPU AOT executables embed host CPU
-# features, and a cache written on one machine SIGILLs/segfaults when
-# loaded on another (observed with a container image that shipped a
-# pre-populated cache).
+# The dir is keyed by hostname + a hash of the host's CPU feature set:
+# CPU AOT executables embed host CPU features, and a cache written on
+# one machine SIGILLs/segfaults when loaded on another. Hostname alone
+# is NOT enough — containers respawn under the same name ("vm") on
+# different physical hosts, and the stale entries then load with
+# "machine feature ... not supported" warnings and eventually crash the
+# process inside the cache's native (de)serialization.
 import platform as _platform
+
+
+def _cpu_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    import hashlib
+
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "nofp"
+
 
 _cache_dir = _os.environ.get(
     "BWAMEM_TPU_CACHE",
     _os.path.join(_os.path.expanduser("~"), ".cache", "bwamem_tpu",
-                  f"xla-{_platform.node()}"))
+                  f"xla-{_platform.node()}-{_cpu_fingerprint()}"))
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
