@@ -72,3 +72,20 @@ try:
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 except Exception:  # noqa: BLE001 — cache is best-effort
     pass
+
+
+def tune_cache_for_backend() -> None:
+    """Call once the backend is known (anywhere after the platform pin):
+    XLA:CPU executable serialization segfaults deterministically on this
+    host for at least one seeding executable (faulthandler stack ends in
+    compilation_cache.put_executable_and_time -> executable.serialize;
+    reproduced twice in full-suite runs, clean cache dir ruled out), so
+    persistent-cache WRITES are disabled on the cpu backend — reads stay
+    on, and the TPU backend keeps full caching (where a compile is
+    20-40 s and serialization is the plugin's, not XLA:CPU's)."""
+    try:
+        if _jax.default_backend() == "cpu":
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1e9)
+    except Exception:  # noqa: BLE001 — cache tuning is best-effort
+        pass

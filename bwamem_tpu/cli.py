@@ -93,6 +93,20 @@ def _add_align_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-p", action="store_true", dest="smart_pairing",
                    help="smart pairing: reads file is interleaved PE")
     p.add_argument("-Y", action="store_true", dest="softclip_supp")
+    # remaining reference getopt letters (src/fastmap.c:166); -b is in
+    # the fork's getopt string but has no case -> dead letter, omitted;
+    # -h (max XA hits) is spelled --xa-hits (argparse reserves -h)
+    p.add_argument("-1", action="store_true", dest="no_mt_io",
+                   help="disable pipeline lookahead (chunks process "
+                        "strictly serially; reference: no_mt_io)")
+    p.add_argument("-j", action="store_true", dest="ignore_alt",
+                   help="treat ALT contigs as primary (ignore .alt)")
+    p.add_argument("-Q", type=int, default=None, dest="mapq_coef_len",
+                   help="mapQ coefficient length (0: seedcov formula)")
+    p.add_argument("-N", type=int, default=None, dest="max_chain_extend",
+                   help="cap on chains taken to extension")
+    p.add_argument("-y", type=int, default=None, dest="max_mem_intv",
+                   help="round-3 seeding occurrence threshold")
     p.add_argument("-V", action="store_true", dest="ref_hdr",
                    help="output the reference FASTA description in XR:Z")
     p.add_argument("-C", action="store_true", dest="copy_comment",
@@ -424,6 +438,12 @@ def cmd_align(args) -> int:
         opt.split_width = args.split_width
     if args.split_factor is not None:
         opt.split_factor = args.split_factor
+    if args.mapq_coef_len is not None:
+        opt.mapQ_coef_len = args.mapq_coef_len
+    if args.max_chain_extend is not None:
+        opt.max_chain_extend = args.max_chain_extend
+    if args.max_mem_intv is not None:
+        opt.max_mem_intv = args.max_mem_intv
     if args.max_chain_gap is not None:
         opt.max_chain_gap = args.max_chain_gap
     if args.mask_level is not None:
@@ -463,6 +483,10 @@ def cmd_align(args) -> int:
         shard = mh.HostShard(rank=args.host_id, world=args.n_hosts)
 
     idx = FMIndex.load(args.index_prefix + ".bmt")
+    if getattr(args, "ignore_alt", False) and idx.ann.is_alt:
+        # -j: treat ALT contigs as part of the primary assembly
+        # (reference: src/fastmap.c:186 ignore_alt -> bns is_alt reset)
+        idx.ann.is_alt = [False] * len(idx.ann.names)
     # fork the host worker pool BEFORE any JAX/device initialization
     # (kt_for/worker2 equivalent; see pipeline/hostpool.py)
     from .pipeline.hostpool import HostPool
@@ -534,7 +558,8 @@ def cmd_align(args) -> int:
         n = run_pipeline(records, aligner,
                          opt.chunk_size * max(args.n_threads, 1), out,
                          timings=timings, paired=paired,
-                         host_pool=host_pool)
+                         host_pool=host_pool,
+                         lookahead=0 if args.no_mt_io else 2)
     finally:
         host_pool.close()
     st = aligner.stats

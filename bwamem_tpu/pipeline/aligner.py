@@ -306,6 +306,9 @@ class MemAligner:
         # set by run_pipeline so the -v report breaks "collect" down
         self.timings = None
         self.pes_fixed = None  # -I fixed insert-size model (pes0)
+        from .. import tune_cache_for_backend
+
+        tune_cache_for_backend()  # cpu backend: no cache writes (segfault)
         self.fm = fm or DeviceFMIndex.from_host(idx)
         if mesh is not None:
             from ..parallel.sharded import replicate_index

@@ -108,8 +108,11 @@ class MemOptions:
         # verified against the in-tree bwa binary (tools/concordance.py).
         cached = self.__dict__.get("_mqf_cache")
         if cached is None or cached[0] != self.mapQ_coef_len:
-            cached = (self.mapQ_coef_len,
-                      float(int(math.log(self.mapQ_coef_len))))
+            # -Q 0 switches mapQ to the seedcov branch; fork sets fac=0
+            # (src/fastmap.c:213-216)
+            fac = (float(int(math.log(self.mapQ_coef_len)))
+                   if self.mapQ_coef_len > 0 else 0.0)
+            cached = (self.mapQ_coef_len, fac)
             self.__dict__["_mqf_cache"] = cached
         return cached[1]
 

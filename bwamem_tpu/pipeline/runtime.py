@@ -35,7 +35,7 @@ _STOP = object()
 def run_pipeline(records: Iterator[SeqRecord], aligner, chunk_bases: int,
                  out: TextIO, timings: Timings | None = None,
                  queue_depth: int = 2, paired: bool = False,
-                 host_pool=None) -> int:
+                 host_pool=None, lookahead: int = 2) -> int:
     """Stream records through the aligner; returns #reads processed."""
     from .hostpool import HostPool
 
@@ -96,8 +96,11 @@ def run_pipeline(records: Iterator[SeqRecord], aligner, chunk_bases: int,
 
     n_processed = 0
     # two collector threads: chunk i+1's device stages overlap chunk i's
-    # host stages (device waits drop the GIL); at most 2 chunks in flight
-    collector = ThreadPoolExecutor(2, thread_name_prefix="collect")
+    # host stages (device waits drop the GIL); at most 2 chunks in flight.
+    # lookahead=0 (the -1 flag / reference no_mt_io) finalizes each chunk
+    # before the next one is collected — strictly serial.
+    collector = ThreadPoolExecutor(max(1, min(2, lookahead)),
+                                   thread_name_prefix="collect")
     try:
         from collections import deque
 
@@ -108,7 +111,8 @@ def run_pipeline(records: Iterator[SeqRecord], aligner, chunk_bases: int,
                 break
             pending.append((collector.submit(collect, batch), n_processed))
             n_processed += len(batch)
-            while len(pending) > 2 or (pending and pending[0][0].done()):
+            while (len(pending) > lookahead
+                   or (pending and pending[0][0].done())):
                 prev_fut, prev_n = pending.popleft()
                 out_q.put(finalize(prev_fut.result(), prev_n))
                 print(f"[bwamem-tpu] processed {n_processed} reads...",

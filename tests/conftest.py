@@ -16,6 +16,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")  # env alone loses to the axon plugin
 
+import bwamem_tpu  # noqa: E402
+
+# XLA:CPU executable serialization can segfault (see tune_cache_for_backend)
+bwamem_tpu.tune_cache_for_backend()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

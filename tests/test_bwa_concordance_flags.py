@@ -67,6 +67,9 @@ SE_CELLS = [
     ("seed_len_25", ["-k", "25"], 99.0),
     ("max_occ_100", ["-c", "100"], 99.0),
     ("reseed_1.0", ["-r", "1.0"], 99.0),
+    ("mapq_seedcov", ["-Q", "0"], 99.0),
+    ("chain_extend_3", ["-N", "3"], 98.5),
+    ("r3_thresh_10", ["-y", "10"], 99.0),
 ]
 
 
