@@ -76,16 +76,16 @@ except Exception:  # noqa: BLE001 — cache is best-effort
 
 def tune_cache_for_backend() -> None:
     """Call once the backend is known (anywhere after the platform pin):
-    XLA:CPU executable serialization segfaults deterministically on this
-    host for at least one seeding executable (faulthandler stack ends in
-    compilation_cache.put_executable_and_time -> executable.serialize;
-    reproduced twice in full-suite runs, clean cache dir ruled out), so
-    persistent-cache WRITES are disabled on the cpu backend — reads stay
-    on, and the TPU backend keeps full caching (where a compile is
+    XLA:CPU executable (de)serialization segfaults deterministically on
+    this host for at least one seeding executable — first on the WRITE
+    side (put_executable_and_time -> executable.serialize, clean cache
+    dir ruled out staleness), then on the READ side when a later run
+    loaded the half-written entry (get_executable_and_time). The
+    persistent cache is therefore OFF for the cpu backend, both
+    directions; the TPU backend keeps full caching (compiles there are
     20-40 s and serialization is the plugin's, not XLA:CPU's)."""
     try:
         if _jax.default_backend() == "cpu":
-            _jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 1e9)
+            _jax.config.update("jax_enable_compilation_cache", False)
     except Exception:  # noqa: BLE001 — cache tuning is best-effort
         pass
