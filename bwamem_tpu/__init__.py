@@ -75,17 +75,22 @@ except Exception:  # noqa: BLE001 — cache is best-effort
 
 
 def tune_cache_for_backend() -> None:
-    """Call once the backend is known (anywhere after the platform pin):
-    XLA:CPU executable (de)serialization segfaults deterministically on
-    this host for at least one seeding executable — first on the WRITE
-    side (put_executable_and_time -> executable.serialize, clean cache
-    dir ruled out staleness), then on the READ side when a later run
-    loaded the half-written entry (get_executable_and_time). The
-    persistent cache is therefore OFF for the cpu backend, both
-    directions; the TPU backend keeps full caching (compiles there are
-    20-40 s and serialization is the plugin's, not XLA:CPU's)."""
+    """Call from any long-lived compile-heavy process (aligner init,
+    test session, driver entry): raises vm.max_map_count when permitted.
+
+    XLA:CPU's thunk runtime JIT-maps thousands of small code regions per
+    compiled executable (~4k new mappings/min measured over a full test
+    session); at the kernel default 65530 the process exhausts its VMA
+    budget and the next failing mmap inside compile/cache code surfaces
+    as a SIGSEGV — observed as three full-suite crashes whose faulting
+    frame wandered between backend_compile, cache put, and cache get
+    (the persistent cache itself was exonerated: a run with the cache
+    fully disabled crashed identically). Best-effort; no-op without
+    root."""
     try:
-        if _jax.default_backend() == "cpu":
-            _jax.config.update("jax_enable_compilation_cache", False)
-    except Exception:  # noqa: BLE001 — cache tuning is best-effort
+        with open("/proc/sys/vm/max_map_count", "r+") as f:
+            if int(f.read()) < 2_000_000:
+                f.seek(0)
+                f.write("2000000")
+    except OSError:
         pass

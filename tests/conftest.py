@@ -18,23 +18,11 @@ jax.config.update("jax_platforms", "cpu")  # env alone loses to the axon plugin
 
 import bwamem_tpu  # noqa: E402
 
-# XLA:CPU executable serialization can segfault (see tune_cache_for_backend)
+# raise vm.max_map_count when permitted: XLA:CPU's thunk runtime
+# JIT-maps thousands of code regions per executable and a full test
+# session blows the kernel default ~20-40 min in, surfacing as SIGSEGV
+# inside compile/cache calls (see tune_cache_for_backend's docstring)
 bwamem_tpu.tune_cache_for_backend()
-
-# XLA:CPU's thunk runtime JIT-maps thousands of small code regions per
-# compiled executable (observed ~4k new mappings/min over a full-suite
-# run); at the kernel default vm.max_map_count=65530 the process blows
-# the map limit ~20-40 min in, and the failing mmap surfaces as a
-# SIGSEGV inside whatever compile/cache call runs next (three suite
-# crashes root-caused to this). Raise the limit when we can (tests run
-# as root in CI containers); harmless no-op elsewhere.
-try:
-    with open("/proc/sys/vm/max_map_count", "r+") as _f:
-        if int(_f.read()) < 2_000_000:
-            _f.seek(0)
-            _f.write("2000000")
-except OSError:
-    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
