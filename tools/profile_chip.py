@@ -1,0 +1,124 @@
+"""On-chip stage breakdown of EXACTLY the bench.py --e2e workload.
+
+Runs the same pipelined e2e run as bench.py and prints the Timings
+report (seed_device / chain_native / chain2aln_native / ext_scatter /
+ext_device / merge_numpy / dedup_native / reg_objects / finalize /
+sam_write / collect), so the device-vs-pipeline gap is attributed
+instead of guessed (VERDICT r2 Missing #2).
+
+Usage: python tools/profile_chip.py [--pe] [--reads N] [--iters N]
+Writes the report to stdout; redirect into BENCH_BREAKDOWN.md.
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pe", action="store_true")
+    ap.add_argument("--reads", type=int, default=8192)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--genome", type=int, default=4_600_000)
+    ap.add_argument("--no-reseed", action="store_true")
+    ap.add_argument("--serial", action="store_true",
+                    help="lookahead=0: no overlap, clean span attribution")
+    args = ap.parse_args()
+
+    from bwamem_tpu.index.build import build_index_from_codes
+    from bwamem_tpu.index.format import Annotation
+    from bwamem_tpu.io.fastx import SeqRecord
+    from bwamem_tpu.pipeline.aligner import MemAligner
+    from bwamem_tpu.pipeline.options import MemOptions
+    from bwamem_tpu.pipeline.runtime import run_pipeline
+    from bwamem_tpu.utils.timing import Timings
+
+    rng = np.random.default_rng(12345 if not args.pe else 777)
+    genome_len = args.genome
+    read_len = 150
+    batch = args.reads
+    g = rng.integers(0, 4, genome_len, dtype=np.uint8)
+    ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
+    t_build0 = time.perf_counter()
+    idx = build_index_from_codes(g, ann, sa_intv=4)
+    print(f"[profile] index build: {time.perf_counter() - t_build0:.1f}s",
+          file=sys.stderr)
+    opt = MemOptions()
+    if args.no_reseed:
+        opt.full_reseed = False
+    al = MemAligner(opt, idx)
+
+    def mk_se(seed):
+        r2 = np.random.default_rng(seed)
+        recs = []
+        for i in range(batch):
+            p = int(r2.integers(0, genome_len - read_len))
+            r = g[p: p + read_len].copy()
+            err = r2.random(read_len) < 0.01
+            r[err] = (r[err] + 1) % 4
+            if i % 2:
+                r = (3 - r)[::-1]
+            recs.append(SeqRecord(name=f"r{i}", seq=r, qual=None,
+                                  comment=None))
+        return recs
+
+    def mk_pe(seed):
+        r2 = np.random.default_rng(seed)
+        recs = []
+        for i in range(batch // 2):
+            isize = max(260, int(r2.normal(350, 50)))
+            p = int(r2.integers(0, genome_len - isize - 1))
+            frag = g[p:p + isize]
+            a = frag[:read_len].copy()
+            b = (3 - frag[-read_len:])[::-1].copy()
+            for r in (a, b):
+                err = r2.random(read_len) < 0.01
+                r[err] = (r[err] + 1) % 4
+            recs.append(SeqRecord(name=f"p{i}", seq=a, qual=None,
+                                  comment=None))
+            recs.append(SeqRecord(name=f"p{i}", seq=b, qual=None,
+                                  comment=None))
+        return recs
+
+    mk = mk_pe if args.pe else mk_se
+
+    # warm compiles (same as bench.py)
+    t_w0 = time.perf_counter()
+    for s_ in (1, 2):
+        run_pipeline(iter(mk(s_)), al, batch * read_len, io.StringIO(),
+                     paired=args.pe)
+    print(f"[profile] warmup: {time.perf_counter() - t_w0:.1f}s",
+          file=sys.stderr)
+
+    batches = [mk(s_) for s_ in range(3, 3 + args.iters)]
+
+    def records():
+        for b in batches:
+            yield from b
+
+    tm = Timings()
+    sink = io.StringIO()
+    la = 0 if args.serial else 2
+    t0 = time.perf_counter()
+    n_done = run_pipeline(records(), al, batch * read_len, sink, timings=tm,
+                          lookahead=la)
+    dt = (time.perf_counter() - t0) / args.iters
+    print(tm.report())
+    print(f"[profile] stats: {al.stats}")
+    unit = "pairs/s" if args.pe else "reads/s"
+    per = (batch // 2) if args.pe else batch
+    print(json.dumps({"metric": "profile_e2e", "value": round(per / dt, 1),
+                      "unit": unit, "n": n_done}))
+
+
+if __name__ == "__main__":
+    main()
