@@ -93,7 +93,9 @@ def main_e2e() -> None:
     rng = np.random.default_rng(12345)
     genome_len = 4_600_000 if not small else 400_000
     read_len = 150
-    batch = 8192 if not small else 512
+    # 16k-read chunks amortize the tunnel's fixed per-dispatch costs;
+    # vanilla bwa's own chunk is 10 Mbp (~67k reads of 150 bp)
+    batch = 16384 if not small else 512
     g = rng.integers(0, 4, genome_len, dtype=np.uint8)
     ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
     idx = build_index_from_codes(g, ann, sa_intv=4)

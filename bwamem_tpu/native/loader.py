@@ -111,6 +111,7 @@ def try_load():
             i64p, i32p,
             i32p, i32p, i32p, i64p, i64p, i32p, ctypes.c_int64,
             i64p, i8p, i32p, i32p, i32p, i64p, i64p,
+            i32p, i32p, i64p, i8p,
             ctypes.c_int64,
             u8p, ctypes.c_int64, u8p, ctypes.c_int64,
             i64p,
@@ -287,6 +288,10 @@ def chain2aln_native(lib, opt, idx, raw, reads_flat: np.ndarray,
             tlen=np.empty(job_cap, np.int32),
             qoff=np.empty(job_cap, np.int64),
             toff=np.empty(job_cap, np.int64),
+            read=np.empty(job_cap, np.int32),
+            qstart=np.empty(job_cap, np.int32),
+            tstart=np.empty(job_cap, np.int64),
+            dir=np.empty(job_cap, np.int8),
         )
         qstream = np.empty(stream_cap, np.uint8)
         tstream = np.empty(stream_cap * 3, np.uint8)
@@ -305,7 +310,9 @@ def chain2aln_native(lib, opt, idx, raw, reads_flat: np.ndarray,
             p32(R["score0"]), p32(R["qb0"]), p32(R["qe0"]), p64(R["rb0"]),
             p64(R["re0"]), p32(R["seedcov0"]), reg_cap,
             p64(J["reg"]), p8(J["side"]), p32(J["h0"]), p32(J["qlen"]),
-            p32(J["tlen"]), p64(J["qoff"]), p64(J["toff"]), job_cap,
+            p32(J["tlen"]), p64(J["qoff"]), p64(J["toff"]),
+            p32(J["read"]), p32(J["qstart"]), p64(J["tstart"]),
+            p8(J["dir"]), job_cap,
             pu8(qstream), stream_cap, pu8(tstream), stream_cap * 3,
             p64(counts),
         )

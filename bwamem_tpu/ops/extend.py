@@ -254,6 +254,41 @@ def extend_choose_jit(query, target, qlen, tlen, h0, mat, params,
     return jnp.stack([sc, qe, te])
 
 
+@partial(jax.jit,
+         static_argnames=("params", "pen_clip", "qmax", "tmax"))
+def extend_choose_desc_jit(fm, reads_dev, j_read, j_qstart, j_qlen,
+                           j_tstart, j_tlen, j_dir, h0, mat, params,
+                           pen_clip: int, qmax: int, tmax: int):
+    """extend_choose_jit fed by JOB DESCRIPTORS instead of materialized
+    Q/T tiles: query base i = reads_dev[j_read, j_qstart + j_dir*i],
+    target base i = pac_doubled[j_tstart + j_dir*i] (device-resident
+    packed genome via refgather.gather_bases, reverse strand
+    complemented). Only ~20 bytes/job ride the host->device link — the
+    materialized tiles were the largest H2D payload of the whole
+    pipeline (~6 MB/chunk at ~60 MiB/s; BENCH_BREAKDOWN.md). The left
+    job's reversal is j_dir = -1 (reference builds reversed copies
+    instead, src/bwamem.c:1324-1341)."""
+    from .refgather import gather_bases
+
+    B, L = reads_dev.shape
+    reads_flat = reads_dev.reshape(-1).astype(jnp.int32)
+    arq = jnp.arange(qmax, dtype=jnp.int32)[None, :]
+    qpos = j_qstart[:, None] + j_dir[:, None].astype(jnp.int32) * arq
+    qidx = j_read[:, None] * L + qpos
+    qv = arq < j_qlen[:, None]
+    Q = jnp.where(qv, reads_flat[jnp.clip(qidx, 0, B * L - 1)], 4)
+    art = jnp.arange(tmax, dtype=jnp.int32)[None, :]
+    tpos = (j_tstart[:, None]
+            + (j_dir[:, None] * art).astype(j_tstart.dtype))
+    T = jnp.where(art < j_tlen[:, None], gather_bases(fm, tpos), 4)
+    # dtype parity with the materialized path (int8 staging)
+    out = extend_batch_auto(Q.astype(jnp.int8), T.astype(jnp.int8),
+                            j_qlen, j_tlen, h0, mat, params)
+    sc, qe, te = end_choice(out["score"], out["qle"], out["tle"],
+                            out["gscore"], out["gtle"], j_qlen, pen_clip)
+    return jnp.stack([sc, qe, te])
+
+
 def end_choice(score, qle, tle, gscore, gtle, qlen, pen_clip):
     """Local-vs-to-query-end selection (reference: src/bwamem.c:1887-1901).
     Returns (score, qle, tle)."""

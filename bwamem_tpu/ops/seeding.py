@@ -73,6 +73,11 @@ class SeedConfig:
     r2_emit: int = 8       # per-lane forward-candidate slots
     r2_cand: int = 8       # round-2 backward candidate slots per read
     r3_pool: int = 8       # round-3 seed slots per read
+    pair_backward: bool = False  # occ2 pair-step backward walk: halves
+    #                        the serial trip chain but ~2.8x the VPU rank
+    #                        work per base — LOSES on the throughput-bound
+    #                        chip (BENCH_BREAKDOWN.md); kept for A/B and
+    #                        latency-bound backends
 
 
 def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len,
@@ -327,7 +332,7 @@ def _compact_global(fields, emit, pool_size):
 
 
 def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
-                   floor=None, group=None):
+                   floor=None, group=None, text_walk=True):
     """Extend each pooled candidate maximally to the left. Flat (P,).
 
     floor: optional (P,) minimum interval size to keep extending
@@ -343,11 +348,23 @@ def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
     contained and stops walking. The final containment filter already
     guarantees it is dropped — this only saves iterations. Dead lanes also
     redirect their occ gathers to block 0 so they stop touching HBM.
+
+    Lanes that reach s == 1 (only possible at floor 1) leave the FM loop
+    and finish on the text path (_text_extend_left, same contract as
+    _backward_pass2): the suffix is unique, so left-maximality is a
+    direct text comparison from one SA anchor.
+
+    This single-step walk (8-column occ rows) is the ROUND-1 hot path:
+    the occ2 pair-step variant halves the serial trip chain but costs
+    ~2.8x the VPU rank work per base, and the chip is throughput-bound,
+    not latency-bound (BENCH_BREAKDOWN.md).
     """
     B, L = reads.shape
     reads_flat = reads.reshape(-1)
     floor = jnp.ones_like(s) if floor is None else floor.astype(s.dtype)
     group = rid if group is None else group
+    textable = jnp.logical_and(valid, floor <= 1) if text_walk else \
+        jnp.zeros_like(valid)
 
     ext = lambda k_, s_, c_: fmops.backward_ext_ks_batch(fm, k_, s_, c_)
 
@@ -387,6 +404,9 @@ def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
             kk = jnp.where(ok, nk, kk)
             ss = jnp.where(ok, ns, ss)
             done = jnp.logical_not(ok)
+            # unique suffix: retire to the text path (_text_extend_left)
+            done = jnp.logical_or(done,
+                                  jnp.logical_and(textable, ss == 1))
             # early kill: same group + same current qb + same interval as
             # the next (longer-ending) live candidate => contained
             nxt = lambda a: jnp.concatenate([a[1:], a[-1:]])
@@ -400,21 +420,21 @@ def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
 
         return body
 
-    done0 = jnp.logical_not(valid)
+    done0 = jnp.logical_or(jnp.logical_not(valid),
+                           jnp.logical_and(textable, s == 1))
     state = (qbeg, k, s, done0, jnp.int32(0))
-    # hybrid loop: a data-dependent while_loop cond costs one host sync
-    # per trip on dispatch-latency-bound backends (measured ~26 ms/trip
-    # through the TPU tunnel vs single-digit ms of gather work). Phase 1
-    # runs a fixed number of trips with no cond (covers virtually all
-    # walks: measured p100 = 17 on 1%-error reads) using the prefetched
-    # window; phase 2 keeps the exact while_loop semantics for rare
-    # longer walks.
+    # hybrid loop: phase 1 runs a fixed number of trips with no cond
+    # (covers virtually all walks: measured p100 = 17 on 1%-error reads)
+    # using the prefetched window; phase 2 keeps the exact while_loop
+    # semantics for rare longer walks.
     state = jax.lax.fori_loop(
         0, min(FIXED_TRIPS, L), lambda _, st: make_body(True)(st), state)
     qb, kk, ss, _, _ = jax.lax.while_loop(cond, make_body(False), state)
-    # signature twin of _backward_pass2: no text path here (this variant
-    # only serves indexes without the occ2 table), so no direct rbeg
-    return qb, kk, ss, jnp.full_like(kk, -1)
+    if not text_walk:
+        return qb, kk, ss, jnp.full_like(kk, -1)
+    to_text = jnp.logical_and(textable, ss == 1)
+    qb, rdir = _text_extend_left(fm, reads, rid, qb, kk, to_text)
+    return qb, kk, ss, rdir
 
 
 def _text_extend_left(fm: DeviceFMIndex, reads, rid, qb, kk, to_text):
@@ -976,22 +996,51 @@ def bowtie_seed_batch(fm: DeviceFMIndex, reads, lens, seed_len: int,
 @partial(jax.jit, static_argnames=("cfg",))
 def smem_seed_batch_stacked(fm: DeviceFMIndex, reads, lens,
                             cfg: "SeedConfig"):
-    """smem_seed_batch with the output pool pre-stacked on device: ONE
-    (7, P) array, so the host fetch is a single coalesced D2H with no
-    eager stacking dispatches. Row 6 packs the scalar head
-    [n_seeds, overflow, over_mult] into lanes 0/1/2 (a second tiny D2H
-    costs a full tunnel round-trip, so the scalars ride in the pool
-    row)."""
+    """smem_seed_batch with the output pool pre-stacked on device so the
+    host fetch is a single coalesced D2H with no eager stacking
+    dispatches. The head row packs the scalars
+    [n_seeds, overflow, over_mult, mults x 6] into its first lanes (a
+    second tiny D2H costs a full tunnel round-trip, so the scalars ride
+    in a pool row).
+
+    Two formats, chosen statically (the aligner's fetch dispatches on
+    row count):
+      * packed (5, P) int32 — narrow indexes with B, L < 2^16:
+        [read_id, qbeg<<16|qend, rbeg, n_occ, head]. Valid slots are a
+        PREFIX (slot < n_seeds; _expand_occurrences emits prefixes), so
+        no valid row rides the tunnel. ~40% fewer D2H bytes than the
+        wide format — the tunnel moves ~40 MiB/s (BENCH_BREAKDOWN.md).
+      * wide (7, P) int64 — genomes needing >31-bit rbeg or huge L/B:
+        the original unpacked rows + valid row.
+    """
     out = smem_seed_batch(fm, reads, lens, cfg)
     dt = out["rbeg"].dtype
-    head_row = jnp.zeros_like(out["rbeg"])
-    head_row = head_row.at[0].set(out["n_seeds"].astype(dt))
-    head_row = head_row.at[1].set(out["overflow"].astype(dt))
-    head_row = head_row.at[2].set(out["over_mult"].astype(dt))
+    B, L = reads.shape
+    P = out["rbeg"].shape[0]
+
+    def head_into(row):
+        row = row.at[0].set(out["n_seeds"].astype(row.dtype))
+        row = row.at[1].set(out["overflow"].astype(row.dtype))
+        row = row.at[2].set(out["over_mult"].astype(row.dtype))
+        return jax.lax.dynamic_update_slice(
+            row, out["mults"].astype(row.dtype), (3,))
+
+    if dt == jnp.int32 and B <= 0xFFFF and L <= 0x7FFF:
+        qpack = (jnp.maximum(out["qbeg"], 0) << 16) | \
+            (out["qend"] & 0xFFFF)
+        pool = jnp.stack([
+            out["read_id"].astype(jnp.int32),
+            qpack.astype(jnp.int32),
+            out["rbeg"].astype(jnp.int32),
+            out["n_occ"].astype(jnp.int32),
+            head_into(jnp.zeros((P,), jnp.int32)),
+        ])
+        return pool
     pool = jnp.stack(
         [out[k].astype(dt)
          for k in ("read_id", "qbeg", "qend", "rbeg", "n_occ")]
-        + [out["valid"].astype(dt), head_row])
+        + [out["valid"].astype(dt),
+           head_into(jnp.zeros((P,), dt))])
     return pool
 
 
@@ -1037,19 +1086,23 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         keep = jnp.logical_and(valid,
                                end - qbeg >= cfg.min_seed_len)
     else:
-        bw = _backward_pass2 if fm.has_occ2 else _backward_pass
+        bw = (_backward_pass2 if fm.has_occ2 and cfg.pair_backward
+              else _backward_pass)
         qbeg, k, s, rdir = bw(fm, reads, rid, start, k, s, valid)
         if cfg.mode == "mem":
             keep = _dup_filter(qbeg, rid, s, valid, end, cfg.min_seed_len)
         else:
             keep = _containment_filter(qbeg, end, rid, valid,
                                        cfg.min_seed_len)
-    # retry sizing: the largest (need / cap) ratio over every pooled
-    # stage, so ONE retry jumps straight to a fitting config instead of
-    # doubling blind (each retry is a full re-seed pass + a new
-    # executable on device)
+    # retry sizing: PER-STAGE (need / cap) ratios, so a retry resizes
+    # only the overflowing pools (round 2 learned the hard way that one
+    # global max multiplies EVERY pool: the backward pass then runs over
+    # B*cand_pool lanes it never needed — measured ~+0.9 s/chunk on chip
+    # for a seed_pool-only overflow; see BENCH_BREAKDOWN.md)
     _cd = lambda need, cap: (need.astype(jnp.int32) + (cap - 1)) // cap
-    mult = _cd(c_need, cand_cap)
+    one = jnp.int32(1)
+    m_cand = _cd(c_need, cand_cap)
+    m_r2lane = m_r2emit = m_r2cand = m_r3 = one
     if cfg.reseed and cfg.mode == "smem":
         # vanilla bwa's rounds 2+3 (bwa_index/bwamem.c:129-159); the
         # merged interval list is re-sorted to vanilla's (qbeg, qend)
@@ -1074,7 +1127,8 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
             (flat(lrid), lane_ids, flat(lx), flat(lfloor),
              kb.reshape(-1), sb.reshape(-1), eb.reshape(-1)),
             filled.reshape(-1), cand2_cap)
-        bw2 = _backward_pass2 if fm.has_occ2 else _backward_pass
+        bw2 = (_backward_pass2 if fm.has_occ2 and cfg.pair_backward
+               else _backward_pass)
         # floors here are >= 2, so no lane can ever qualify for the
         # text path — skip its SA-anchor chain statically
         qb2, k2e, s2e, rdir2 = bw2(fm, reads, rid2, x2, k2, s2, v2,
@@ -1082,10 +1136,9 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
                                    text_walk=False)
         keep2 = _containment_filter(qb2, end2, lane2, v2, cfg.min_seed_len)
         parts.append((rid2, qb2, end2, k2e, s2e, keep2, rdir2))
-        mult = jnp.maximum(
-            mult, jnp.maximum(
-                _cd(l_need, lane_cap),
-                jnp.maximum(_cd(f_need, E), _cd(c2_need, cand2_cap))))
+        m_r2lane = _cd(l_need, lane_cap)
+        m_r2emit = _cd(f_need, E)
+        m_r2cand = _cd(c2_need, cand2_cap)
         # ---- round 3: LAST-like forward seeds ----
         if cfg.max_mem_intv > 0:
             if r3_planes is not None:  # fused into the round-1 scan
@@ -1104,7 +1157,7 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
                 emit3.reshape(-1), B * cfg.r3_pool)
             parts.append((rid3, qb3, end3, k3, s3, v3 & (s3 > 0),
                           jnp.full_like(k3, -1)))
-            mult = jnp.maximum(mult, _cd(c3_need, B * cfg.r3_pool))
+            m_r3 = _cd(c3_need, B * cfg.r3_pool)
         # ---- merge + vanilla (qbeg, qend) interval sort ----
         cols = list(zip((rid, qbeg, end, k.astype(dt), s.astype(dt), keep,
                          rdir.astype(dt)),
@@ -1125,7 +1178,12 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
     out = _expand_occurrences(
         fm, rid, qbeg, end, k, s, keep, B * cfg.seed_pool, cfg.max_occ,
         rdir=rdir)
-    mult = jnp.maximum(mult, _cd(out["need"], B * cfg.seed_pool))
+    m_seed = _cd(out["need"], B * cfg.seed_pool)
+    # per-stage multipliers, order matching SeedConfig pool fields:
+    # (cand_pool, r2_pool, r2_emit, r2_cand, r3_pool, seed_pool)
+    mults = jnp.stack([m_cand, m_r2lane, m_r2emit, m_r2cand, m_r3, m_seed])
+    out["mults"] = mults
+    mult = jnp.max(mults)
     out["over_mult"] = mult
     out["overflow"] = mult > 1
     return out

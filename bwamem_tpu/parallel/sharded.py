@@ -113,12 +113,14 @@ def sharded_seed_batch(mesh: Mesh, fm: DeviceFMIndex, reads, lens, cfg,
         n_seeds = jax.lax.psum(out.pop("n_seeds"), axis)
         out.pop("need", None)
         over_mult = jax.lax.pmax(out.pop("over_mult"), axis)
+        mults = jax.lax.pmax(out.pop("mults"), axis)
         out.pop("overflow")
-        return out, (n_seeds, over_mult)
+        return out, (n_seeds, over_mult, mults)
 
-    out, (n_seeds, over_mult) = jax.jit(step)(fm, reads, lens)
+    out, (n_seeds, over_mult, mults) = jax.jit(step)(fm, reads, lens)
     out["n_seeds"] = n_seeds
     out["over_mult"] = over_mult
+    out["mults"] = mults
     out["overflow"] = over_mult > 1
     return out
 

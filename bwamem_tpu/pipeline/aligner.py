@@ -306,6 +306,9 @@ class MemAligner:
         # set by run_pipeline so the -v report breaks "collect" down
         self.timings = None
         self.pes_fixed = None  # -I fixed insert-size model (pes0)
+        from .poolstore import get_store
+
+        self.pool_store = get_store()
         from .. import tune_cache_for_backend
 
         tune_cache_for_backend()  # cpu backend: no cache writes (segfault)
@@ -359,6 +362,14 @@ class MemAligner:
                 reads = np.concatenate(
                     [reads, np.full((Bp - B, L), 4, reads.dtype)])
                 lens = np.concatenate([lens, np.zeros(Bp - B, lens.dtype)])
+        # ONE upload shared by every retry launch AND by the extension
+        # stage's descriptor gather (extend_choose_desc_jit); the stash
+        # is validated by batch size in _collect_native (a spill split
+        # leaves a half-batch buffer behind — then extension re-uploads)
+        reads_j = jnp.asarray(reads)
+        lens_j = jnp.asarray(lens)
+        if self.mesh is None:
+            self._reads_stage = (len(seqs), L, reads_j)
 
         def launch(cfg):
             if opt.seed_type in (2, 4):
@@ -369,7 +380,7 @@ class MemAligner:
                 ktab = (fmops.get_kmer_table(self.fm, ktab_k)
                         if ktab_k else None)
                 return bowtie_seed_batch(
-                    self.fm, jnp.asarray(reads), jnp.asarray(lens),
+                    self.fm, reads_j, lens_j,
                     seed_len=opt.min_seed_len,
                     stride=opt.seed_intv or opt.min_seed_len,
                     inexact=(opt.seed_type == 4),
@@ -384,22 +395,36 @@ class MemAligner:
                 from ..parallel.sharded import sharded_seed_batch
 
                 return sharded_seed_batch(
-                    self.mesh, self.fm, jnp.asarray(reads),
-                    jnp.asarray(lens), cfg)
+                    self.mesh, self.fm, reads_j, lens_j, cfg)
             from ..ops.seeding import smem_seed_batch_stacked
 
-            return smem_seed_batch_stacked(self.fm, jnp.asarray(reads),
-                                           jnp.asarray(lens), cfg)
+            return smem_seed_batch_stacked(self.fm, reads_j, lens_j, cfg)
 
         # adaptive pool sizing: on overflow retry with doubled pools (the
         # reference aborts instead, seed_gen.cu:2037-2042; a retry costs one
         # extra launch and never silently unmaps tail reads)
         from dataclasses import replace as _dc_replace
 
+        from .poolstore import POOL_CAPS, POOL_FIELDS, PoolStore
+
         def fetch(raw):
             """Coalesced D2H: ONE stacked pool transfer (head scalars ride
-            in pool row 6). The smem path pre-stacks on device
-            (smem_seed_batch_stacked); other paths stack here."""
+            in the last pool row; lanes 3..8 carry the per-stage pool
+            multipliers). The smem path pre-stacks on device
+            (smem_seed_batch_stacked — packed (5, P) int32 on narrow
+            indexes, wide (7, P) otherwise); other paths stack here."""
+            if not isinstance(raw, dict) and raw.shape[0] == 5:
+                pool = np.asarray(raw)  # packed, single D2H
+                head = pool[4]
+                P = pool.shape[1]
+                mults = {f: max(int(head[3 + i]), 1)
+                         for i, f in enumerate(POOL_FIELDS)}
+                return dict(
+                    read_id=pool[0], qbeg=pool[1] >> 16,
+                    qend=pool[1] & 0xFFFF, rbeg=pool[2], n_occ=pool[3],
+                    valid=np.arange(P) < int(head[0]),
+                    n_seeds=head[0], overflow=head[1] > 0,
+                    over_mult=max(int(head[2]), 1), mults=mults)
             if not isinstance(raw, dict):
                 pool = np.asarray(raw)  # (7, P), single D2H
                 head = pool[6]
@@ -409,63 +434,84 @@ class MemAligner:
                     [raw[k].astype(dt)
                      for k in ("read_id", "qbeg", "qend", "rbeg", "n_occ")]
                     + [raw["valid"].astype(dt)])
-                head_d = jnp.stack(
-                    [raw["n_seeds"].astype(jnp.int32),
-                     raw["overflow"].astype(jnp.int32),
-                     raw["over_mult"].astype(jnp.int32)])
+                om = raw["over_mult"].astype(jnp.int32)
+                head_d = jnp.concatenate([
+                    jnp.stack([raw["n_seeds"].astype(jnp.int32),
+                               raw["overflow"].astype(jnp.int32), om]),
+                    # paths without per-stage mults (bowtie) have ONE
+                    # pool: map over_mult onto the seed_pool slot
+                    raw["mults"].astype(jnp.int32) if "mults" in raw
+                    else jnp.stack([jnp.int32(1)] * 5 + [om])])
                 pool = np.asarray(pool_d)
                 head = np.asarray(head_d)
+            mults = {f: max(int(head[3 + i]), 1)
+                     for i, f in enumerate(POOL_FIELDS)}
             return dict(read_id=pool[0], qbeg=pool[1], qend=pool[2],
                         rbeg=pool[3], n_occ=pool[4],
                         valid=pool[5].astype(bool),
                         n_seeds=head[0], overflow=head[1] > 0,
-                        over_mult=max(int(head[2]), 1))
+                        over_mult=max(int(head[2]), 1), mults=mults)
 
-        # seed counts grow linearly with read length: pre-scale the pools
-        # for long-read chunks so the first one doesn't pay 3-4 overflow
-        # retries (each a recompile + a full re-seed pass). 192 is the
-        # short-read length bucket the 32/4 defaults were measured at;
-        # scale stays a power of two to keep the executable set finite.
+        # seed counts grow linearly with read length: pre-scale the two
+        # round-1 pools for long-read chunks so the first one doesn't pay
+        # 3-4 overflow retries (each a recompile + a full re-seed pass).
+        # 192 is the short-read length bucket the 32/4 defaults were
+        # measured at; scale stays a power of two to keep the executable
+        # set finite.
         need = -(-L // 192)
         scale = 1 << (need - 1).bit_length()
-        target = min(32 * scale, 4096)
-        if self.seed_cfg.cand_pool > 0:
-            m = target // self.seed_cfg.cand_pool
-            if m > 1:
-                self.seed_cfg = _dc_replace(
-                    self.seed_cfg,
-                    cand_pool=self.seed_cfg.cand_pool * m,
-                    seed_pool=self.seed_cfg.seed_pool * m,
-                    r2_pool=self.seed_cfg.r2_pool * m,
-                    r2_emit=self.seed_cfg.r2_emit * m,
-                    r2_cand=self.seed_cfg.r2_cand * m,
-                    r3_pool=self.seed_cfg.r3_pool * m)
+        if scale > 1 and self.seed_cfg.cand_pool > 0:
+            updates = {}
+            for f in ("cand_pool", "seed_pool"):
+                cur = getattr(self.seed_cfg, f)
+                tgt = min(cur * scale, 4096)
+                if tgt > cur:
+                    updates[f] = tgt
+            if updates:
+                self.seed_cfg = _dc_replace(self.seed_cfg, **updates)
+
+        # learned pool sizes from earlier processes (poolstore sidecar):
+        # adopt any field a previous converged run found necessary for
+        # this (mode, read-length) class, so steady-state runs and the
+        # bench start right-sized with ZERO overflow retries.
+        pool_key = PoolStore.key(
+            f"st{opt.seed_type}" if opt.seed_type in (2, 4)
+            else ("fwdmem" if opt.seed_type == 3
+                  else "mem" if opt.re_seed else "smem"),
+            self.seed_cfg.reseed, opt.min_seed_len, L)
+        learned = self.pool_store.lookup(pool_key)
+        if learned:
+            updates = {f: v for f, v in learned.items()
+                       if v > getattr(self.seed_cfg, f)}
+            if updates:
+                self.seed_cfg = _dc_replace(self.seed_cfg, **updates)
 
         while True:
             with self._span("seed_device"):
                 out = fetch(launch(self.seed_cfg))
-            if not bool(out["overflow"]) or self.seed_cfg.cand_pool >= 4096:
+            # per-stage one-jump resize: only the overflowing pools grow
+            # (a global multiplier made the backward pass 4x wider for a
+            # seed_pool-only overflow — BENCH_BREAKDOWN.md). Each jump
+            # goes straight to a fitting power-of-two size; the loop
+            # stays because a lifted truncation can reveal new need.
+            updates = {}
+            for f, v in out["mults"].items():
+                cur = getattr(self.seed_cfg, f)
+                if v > 1 and cur < POOL_CAPS[f]:
+                    m = 1 << max(v - 1, 1).bit_length()
+                    updates[f] = min(cur * m, POOL_CAPS[f])
+            if not updates:
                 break
+            self.seed_cfg = _dc_replace(self.seed_cfg, **updates)
             import sys
-            # one-jump resize: the launch reports the worst need/cap
-            # ratio over its pooled stages, so the retry goes straight to
-            # a fitting power-of-two config (each blind doubling would
-            # cost a full re-seed pass + a new executable). Stage needs
-            # can grow once upstream truncation is lifted, so the loop
-            # stays — it just converges in ~1 retry instead of ~log2.
-            m = 1 << max(int(out["over_mult"]) - 1, 1).bit_length()
-            m = max(2, min(m, 4096 // self.seed_cfg.cand_pool))
-            self.seed_cfg = _dc_replace(
-                self.seed_cfg,
-                cand_pool=self.seed_cfg.cand_pool * m,
-                seed_pool=self.seed_cfg.seed_pool * m,
-                r2_pool=self.seed_cfg.r2_pool * m,
-                r2_emit=self.seed_cfg.r2_emit * m,
-                r2_cand=self.seed_cfg.r2_cand * m,
-                r3_pool=self.seed_cfg.r3_pool * m)
-            print(f"[bwamem-tpu] seed pool overflow (need {m}x); "
-                  f"retrying with cand_pool={self.seed_cfg.cand_pool}, "
-                  f"seed_pool={self.seed_cfg.seed_pool}", file=sys.stderr)
+
+            print(f"[bwamem-tpu] seed pool overflow; retrying with "
+                  + ", ".join(f"{f}={v}" for f, v in updates.items()),
+                  file=sys.stderr)
+        if not bool(out["overflow"]):
+            # converged: persist so the NEXT process starts here
+            self.pool_store.update(pool_key, {
+                f: getattr(self.seed_cfg, f) for f in POOL_FIELDS})
         if bool(out["overflow"]):
             # spill path: pools are at their per-read cap and STILL
             # overflow. The pool is GLOBAL (B * cap slots shared across
@@ -558,7 +604,17 @@ class MemAligner:
         self.stats["n_extensions"] += out["n_jobs"]
         partL = np.zeros((nR, 3), np.int64)
         partR = np.zeros((nR, 3), np.int64)
-        self._run_jobs_arrays(out, (partL, partR))
+        # the seeding stage's device reads buffer serves the extension
+        # descriptor gather when it still matches this batch (a spill
+        # split leaves a half-batch stash behind — then fall back)
+        stash = getattr(self, "_reads_stage", None)
+        reads_dev = None
+        if (self.mesh is None and stash is not None and stash[0] == B
+                and stash[1] >= L):
+            reads_dev = stash[2]
+        elif self.mesh is None:
+            reads_dev = jnp.asarray(reads)  # rare: re-upload fresh
+        self._run_jobs_arrays(out, (partL, partR), reads_dev=reads_dev)
 
         # vectorized L/R merge (reference rule: src/bwamem.c:2296-2311)
         merge_span = self._span("merge_numpy")
@@ -658,10 +714,16 @@ class MemAligner:
         obj_span.__exit__(None, None, None)
         return per
 
-    def _run_jobs_arrays(self, out, parts) -> None:
+    def _run_jobs_arrays(self, out, parts, reads_dev=None) -> None:
         """Bucketed device extension over array-form jobs; results land in
         parts[(side)][reg, 0:3] = (score, qle, tle) (the native fast
-        path's equivalent of run_extension_jobs)."""
+        path's equivalent of run_extension_jobs).
+
+        reads_dev: the seeding stage's (B, L) device reads buffer. When
+        given (single-device path), jobs ship as DESCRIPTORS and the
+        device gathers Q from this buffer and T from the HBM-resident
+        packed genome (extend_choose_desc_jit) — the materialized-tile
+        H2D was the pipeline's largest host->device payload."""
         from ..native import loader
 
         opt = self.opt
@@ -673,6 +735,7 @@ class MemAligner:
         qlen = J["qlen"][:nJ]
         tlen = J["tlen"][:nJ]
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        use_desc = reads_dev is not None and self.mesh is None
 
         # bucket merge: every extra launch costs a dispatch + D2H
         # round-trip (~56 ms on tunneled backends ~= 84 MB of H2D), so
@@ -714,6 +777,31 @@ class MemAligner:
             QMAX = bucket_len(int(qlen[sel].max()))
             TMAX = bucket_len(int(tlen[sel].max()))
             N = -(-bucket_count(len(sel)) // n_dev) * n_dev
+            ql = np.zeros(N, np.int32)
+            tl = np.zeros(N, np.int32)
+            h0 = np.ones(N, np.int32)
+            ql[: len(sel)] = qlen[sel]
+            tl[: len(sel)] = tlen[sel]
+            h0[: len(sel)] = J["h0"][:nJ][sel]
+            if use_desc:
+                from ..ops.extend import extend_choose_desc_jit
+
+                jr = np.zeros(N, np.int32)
+                jqs = np.zeros(N, np.int32)
+                jts = np.zeros(N, np.int64)
+                jdir = np.ones(N, np.int8)
+                jr[: len(sel)] = J["read"][:nJ][sel]
+                jqs[: len(sel)] = J["qstart"][:nJ][sel]
+                jts[: len(sel)] = J["tstart"][:nJ][sel]
+                jdir[: len(sel)] = J["dir"][:nJ][sel]
+                stacked = extend_choose_desc_jit(
+                    self.fm, reads_dev, jnp.asarray(jr), jnp.asarray(jqs),
+                    jnp.asarray(ql), jnp.asarray(jts), jnp.asarray(tl),
+                    jnp.asarray(jdir), jnp.asarray(h0),
+                    jnp.asarray(opt.mat), self.ext_params,
+                    int(opt.pen_clip5), QMAX, TMAX)
+                launched.append((stacked, sel))
+                continue
             with self._span("ext_scatter"):
                 Q = loader.scatter_jobs(lib, out["qstream"], J["qoff"],
                                         J["qlen"], sel, QMAX)
@@ -724,12 +812,6 @@ class MemAligner:
                     [Q, np.full((N - len(sel), QMAX), 4, np.int8)])
                 T = np.vstack(
                     [T, np.full((N - len(sel), TMAX), 4, np.int8)])
-            ql = np.zeros(N, np.int32)
-            tl = np.zeros(N, np.int32)
-            h0 = np.ones(N, np.int32)
-            ql[: len(sel)] = qlen[sel]
-            tl[: len(sel)] = tlen[sel]
-            h0[: len(sel)] = J["h0"][:nJ][sel]
             if self.mesh is not None:
                 from ..parallel.sharded import sharded_extend_batch
 

@@ -1,0 +1,94 @@
+"""Learned seed-pool size persistence.
+
+The device seeding program reports a need/cap multiplier PER POOL
+(ops/seeding.py smem_seed_batch "mults"); an overflow retry resizes only
+the overflowing pools, and the converged configuration is persisted here
+so later PROCESSES (the CLI is one-shot; the bench is a fresh process)
+start right-sized — no overflow retries, no retry recompiles. The
+equivalent of GASAL2's pre-sized device pools (reference:
+src/fastmap.c:495-507 gasal_init_streams with fixed max_batch sizes),
+except learned instead of hard-coded.
+
+Entries only grow (per-field max-merge), so a repeat-rich input can
+never shrink the pools a worse input needed. Writes are atomic
+(temp + rename) and best-effort: a read-only cache dir degrades to
+in-process learning only.
+"""
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+# SeedConfig pool fields, in the order of the device "mults" vector
+POOL_FIELDS = ("cand_pool", "r2_pool", "r2_emit", "r2_cand", "r3_pool",
+               "seed_pool")
+# per-stage caps: beyond these the spill path (batch split) takes over
+POOL_CAPS = {"cand_pool": 4096, "r2_pool": 1024, "r2_emit": 128,
+             "r2_cand": 2048, "r3_pool": 1024, "seed_pool": 4096}
+
+
+def default_path() -> str:
+    return os.environ.get(
+        "BWAMEM_TPU_POOLS",
+        os.path.join(os.path.expanduser("~"), ".cache", "bwamem_tpu",
+                     "pools.json"))
+
+
+class PoolStore:
+    def __init__(self, path: str | None = None):
+        self.path = path or default_path()
+        self._lock = threading.Lock()
+        self._data: dict[str, dict[str, int]] = {}
+        try:
+            with open(self.path) as f:
+                raw = json.load(f)
+            if isinstance(raw, dict):
+                self._data = {
+                    k: {f_: int(v[f_]) for f_ in POOL_FIELDS if f_ in v}
+                    for k, v in raw.items() if isinstance(v, dict)}
+        except (OSError, ValueError):
+            pass
+
+    @staticmethod
+    def key(mode: str, reseed: bool, min_seed_len: int, L: int) -> str:
+        return f"{mode}:rs{int(bool(reseed))}:msl{min_seed_len}:L{L}"
+
+    def lookup(self, key: str) -> dict[str, int] | None:
+        with self._lock:
+            v = self._data.get(key)
+            return dict(v) if v else None
+
+    def update(self, key: str, fields: dict[str, int]) -> None:
+        """Max-merge `fields` into the entry; persist if anything grew."""
+        with self._lock:
+            cur = self._data.setdefault(key, {})
+            changed = False
+            for f_, v in fields.items():
+                if f_ in POOL_FIELDS and int(v) > cur.get(f_, 0):
+                    cur[f_] = int(v)
+                    changed = True
+            if not changed:
+                return
+            try:
+                os.makedirs(os.path.dirname(self.path), exist_ok=True)
+                tmp = f"{self.path}.tmp.{os.getpid()}"
+                with open(tmp, "w") as f:
+                    json.dump(self._data, f, indent=0, sort_keys=True)
+                os.replace(tmp, self.path)
+            except OSError:
+                pass  # best-effort: keep the in-process copy
+
+
+_default: PoolStore | None = None
+_default_lock = threading.Lock()
+
+
+def get_store() -> PoolStore:
+    """Process-wide store for the default path (env-sensitive: a changed
+    BWAMEM_TPU_POOLS gets a fresh store — tests point it at tmp dirs)."""
+    global _default
+    with _default_lock:
+        if _default is None or _default.path != default_path():
+            _default = PoolStore()
+        return _default

@@ -74,9 +74,15 @@ extern "C" int64_t bm_chain2aln_batch(
     int8_t* r_sides, int64_t* r_chain_soff, int32_t* r_chain_ns,
     int32_t* r_score0, int32_t* r_qb0, int32_t* r_qe0, int64_t* r_rb0,
     int64_t* r_re0, int32_t* r_seedcov0, int64_t reg_cap,
-    // outputs: jobs + streams
+    // outputs: jobs + streams. Descriptor arrays (j_read/j_qstart/
+    // j_tstart/j_dir) let the DEVICE gather job sequences itself: query
+    // base i = read[j_read][j_qstart + j_dir*i], target base i =
+    // pac_doubled[j_tstart + j_dir*i] — so only ~20 bytes/job ride the
+    // host->device tunnel instead of materialized Q/T tiles.
     int64_t* j_reg, int8_t* j_side, int32_t* j_h0, int32_t* j_qlen,
-    int32_t* j_tlen, int64_t* j_qoff, int64_t* j_toff, int64_t job_cap,
+    int32_t* j_tlen, int64_t* j_qoff, int64_t* j_toff,
+    int32_t* j_read, int32_t* j_qstart, int64_t* j_tstart, int8_t* j_dir,
+    int64_t job_cap,
     uint8_t* qstream, int64_t qstream_cap, uint8_t* tstream,
     int64_t tstream_cap,
     int64_t* out_counts /* [n_regs, n_jobs, q_bytes, t_bytes, overflow] */) {
@@ -267,6 +273,10 @@ extern "C" int64_t bm_chain2aln_batch(
         j_tlen[n_jobs] = (int32_t)lrl;
         j_qoff[n_jobs] = q_bytes;
         j_toff[n_jobs] = t_bytes;
+        j_read[n_jobs] = rd;
+        j_qstart[n_jobs] = (int32_t)(lql - 1);     // reversed walk left
+        j_tstart[n_jobs] = rmax0 + lrl - 1;
+        j_dir[n_jobs] = -1;
         for (int64_t t = 0; t < lql; ++t)
           qstream[q_bytes + t] = q[lql - 1 - t];
         for (int64_t t = 0; t < lrl; ++t)
@@ -289,6 +299,10 @@ extern "C" int64_t bm_chain2aln_batch(
         j_tlen[n_jobs] = (int32_t)rrl;
         j_qoff[n_jobs] = q_bytes;
         j_toff[n_jobs] = t_bytes;
+        j_read[n_jobs] = rd;
+        j_qstart[n_jobs] = (int32_t)(lql + s_ln);
+        j_tstart[n_jobs] = rmax0 + lrl + s_ln;
+        j_dir[n_jobs] = 1;
         for (int64_t t = 0; t < rql; ++t)
           qstream[q_bytes + t] = q[lql + s_ln + t];
         for (int64_t t = 0; t < rrl; ++t)

@@ -4,8 +4,15 @@ Mirrors SURVEY §4's guidance: the reference has no distributed tests; we
 validate multi-chip sharding with xla_force_host_platform_device_count.
 """
 import os
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # override the preset axon platform
+# isolate the learned-pool sidecar: tests must not read or pollute the
+# user's ~/.cache/bwamem_tpu/pools.json (pool sizes change executable
+# shapes, and repeat-rich tests would inflate later tests' pools)
+os.environ.setdefault(
+    "BWAMEM_TPU_POOLS",
+    os.path.join(tempfile.mkdtemp(prefix="bwamem_pools_"), "pools.json"))
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -55,17 +55,12 @@ def main() -> None:
     base = SeedConfig(reseed=True)
 
     variants = {
-        "off": replace(base, reseed=False, cand_pool=128, seed_pool=16),
-        "on_all_x4": replace(base, cand_pool=128, seed_pool=16,
-                             r2_pool=16, r2_emit=32, r2_cand=32, r3_pool=32),
-        "on_rightsized": replace(base, cand_pool=128, seed_pool=16),
-        "on_no_r3": replace(base, cand_pool=128, seed_pool=16,
-                            max_mem_intv=0),
-        "on_no_r2": replace(base, cand_pool=128, seed_pool=16,
-                            split_width=0),
-        "on_no_r2r3": replace(base, cand_pool=128, seed_pool=16,
-                              split_width=0, max_mem_intv=0),
+        "on_single_bw": replace(base, seed_pool=16),
+        "on_pair_bw": replace(base, seed_pool=16, pair_backward=True),
+        "off_single_bw": replace(base, reseed=False),
+        "off_pair_bw": replace(base, reseed=False, pair_backward=True),
     }
+    pools = {}
     for name, cfg in variants.items():
         t0 = time.perf_counter()
         out = smem_seed_batch_stacked(fm, reads_j, lens_j, cfg)
@@ -78,11 +73,17 @@ def main() -> None:
             out = smem_seed_batch_stacked(fm, reads_j, lens_j, cfg)
             pool = np.asarray(out)
         dt = (time.perf_counter() - t0) / reps
+        pools[name] = pool
         n_seeds = int(pool[6, 0])
         overflow = int(pool[6, 1])
         print(f"{name:16s} {dt * 1e3:8.1f} ms  ({B / dt:9.0f} reads/s) "
               f" n_seeds={n_seeds} ovf={overflow} compile={compile_t:.0f}s",
               flush=True)
+    for a, b in (("on_single_bw", "on_pair_bw"),
+                 ("off_single_bw", "off_pair_bw")):
+        if a in pools and b in pools:
+            same = np.array_equal(pools[a][:6], pools[b][:6])
+            print(f"pools equal {a} vs {b}: {same}")
 
 
 if __name__ == "__main__":
