@@ -206,12 +206,22 @@ def main_pe() -> None:
                                sink, paired=True)
     dt = (time.perf_counter() - t0) / n_iter
     assert n_done == 2 * n_pairs * n_iter
-    print(json.dumps({
+    result = {
         "metric": "e2e_align_pairs_per_s" + _METRIC_SUFFIX,
         "value": round(n_pairs / dt, 1),
         "unit": "pairs/s/chip",
         "vs_baseline": round(n_pairs / dt / (BASELINE_READS_PER_S / 2), 3),
-    }))
+    }
+    print(json.dumps(result))
+    # persist the PE figure as a committed artifact (VERDICT r2 #3: the
+    # driver's record keeps only the LAST stdout line, which is SE)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_PE_r03.json"), "w") as f:
+            json.dump(result, f)
+            f.write("\n")
+    except OSError:
+        pass
 
 
 def main() -> None:
@@ -279,5 +289,16 @@ if __name__ == "__main__":
         main()
     elif "--pe" in sys.argv:
         main_pe()
-    else:  # e2e is the headline (also reachable explicitly via --e2e)
+    elif "--e2e" in sys.argv:
+        main_e2e()
+    else:
+        # default (the driver's invocation): PE line FIRST, SE e2e line
+        # LAST — the driver records the last JSON line as the headline,
+        # and the PE figure lands in BENCH_PE_r03.json (VERDICT r2 #3).
+        # On CPU fallback skip PE to keep the liveness line fast.
+        if not _METRIC_SUFFIX:
+            try:
+                main_pe()
+            except Exception as e:  # noqa: BLE001 — never lose the SE line
+                print(f"[bench] PE leg failed: {e!r}", file=sys.stderr)
         main_e2e()

@@ -45,15 +45,31 @@ def run_pipeline(records: Iterator[SeqRecord], aligner, chunk_bases: int,
     in_q: queue.Queue = queue.Queue(maxsize=queue_depth)
     out_q: queue.Queue = queue.Queue(maxsize=queue_depth)
     errors: list[BaseException] = []
+    # Fail-fast cancellation (reference policy: abort on any stage error,
+    # seed_gen.cu:2037-2042). Set on any thread's error so the others
+    # unblock promptly instead of deadlocking on a full/empty queue.
+    stop = threading.Event()
+
+    def _put(q: queue.Queue, item) -> bool:
+        """stop-aware blocking put; False if cancelled while waiting."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def reader():
         try:
             for batch in chunk_records(records, chunk_bases, paired=paired):
-                in_q.put(batch)
+                if not _put(in_q, batch):
+                    return
         except BaseException as e:  # noqa: BLE001
             errors.append(e)
+            stop.set()
         finally:
-            in_q.put(_STOP)
+            _put(in_q, _STOP)
 
     def writer():
         try:
@@ -67,6 +83,10 @@ def run_pipeline(records: Iterator[SeqRecord], aligner, chunk_bases: int,
                         out.write("\n")
         except BaseException as e:  # noqa: BLE001
             errors.append(e)
+            stop.set()
+            # keep draining so finalize's out_q.put never blocks forever
+            while out_q.get() is not _STOP:
+                pass
 
     def collect(batch):
         names = [r.name for r in batch]
@@ -105,8 +125,11 @@ def run_pipeline(records: Iterator[SeqRecord], aligner, chunk_bases: int,
         from collections import deque
 
         pending: deque = deque()  # (future, n_reads_at_start)
-        while True:
-            batch = in_q.get()
+        while not stop.is_set():
+            try:
+                batch = in_q.get(timeout=0.2)
+            except queue.Empty:
+                continue
             if batch is _STOP:
                 break
             pending.append((collector.submit(collect, batch), n_processed))
@@ -114,17 +137,28 @@ def run_pipeline(records: Iterator[SeqRecord], aligner, chunk_bases: int,
             while (len(pending) > lookahead
                    or (pending and pending[0][0].done())):
                 prev_fut, prev_n = pending.popleft()
-                out_q.put(finalize(prev_fut.result(), prev_n))
+                _put(out_q, finalize(prev_fut.result(), prev_n))
                 print(f"[bwamem-tpu] processed {n_processed} reads...",
                       file=sys.stderr)
-        while pending:
+        while pending and not stop.is_set():
             prev_fut, prev_n = pending.popleft()
-            out_q.put(finalize(prev_fut.result(), prev_n))
+            _put(out_q, finalize(prev_fut.result(), prev_n))
     finally:
+        stop_was_error = stop.is_set() or bool(errors)
         collector.shutdown(wait=False)
-        out_q.put(_STOP)
-        wt.join()
-        rt.join(timeout=1.0)
+        # unblock + terminate the writer; it drains on its own error path
+        while True:
+            try:
+                out_q.put(_STOP, timeout=0.2)
+                break
+            except queue.Full:
+                if stop_was_error:
+                    # a dead-but-drained writer already returned; don't spin
+                    if not wt.is_alive():
+                        break
+        wt.join(timeout=5.0)
+        stop.set()  # release the reader from any blocked put
+        rt.join(timeout=5.0)
     if errors:
         raise errors[0]
     return n_processed

@@ -25,6 +25,30 @@ def _rand_codes(rng, n):
     return rng.integers(0, 4, n, dtype=np.uint8)
 
 
+def _rand_codes_gc(rng, n, gc_mean=0.41, gc_sd=0.07, gc_block=5_000):
+    """Background sequence with isochore-style GC structure: a blockwise
+    random-walk GC track (human-like mean 41%, blocks of a few kb) drives
+    per-base composition instead of uniform 25/25/25/25. Real-genome
+    stand-in — no real FASTA exists in this offline image (documented in
+    CONCORDANCE.md)."""
+    n_blocks = max(1, (n + gc_block - 1) // gc_block)
+    # AR(1) walk keeps neighboring blocks correlated like real isochores
+    gc = np.empty(n_blocks)
+    gc[0] = gc_mean
+    for i in range(1, n_blocks):
+        gc[i] = gc[i - 1] + rng.normal(0.0, gc_sd * 0.5)
+        gc[i] = gc_mean + 0.8 * (gc[i] - gc_mean)
+    gc = np.clip(gc, 0.25, 0.65)
+    per_base_gc = np.repeat(gc, gc_block)[:n]
+    u = rng.random(n)
+    is_gc = u < per_base_gc
+    # split each half 50/50 (ignore weak AT/GC strand skew)
+    second = rng.random(n) < 0.5
+    out = np.where(is_gc, np.where(second, 2, 1),  # G or C
+                   np.where(second, 3, 0)).astype(np.uint8)  # T or A
+    return out
+
+
 def _mutate(rng, codes, div):
     """Point-mutate a copy of `codes` at rate `div`."""
     out = codes.copy()
@@ -45,6 +69,11 @@ class RepeatSpec:
     segdup_div: float = 0.01
     n_runs: int = 4            # ambiguous-base runs
     n_run_len: int = 200
+    gc_mean: float = 0.41      # human-like genome GC; isochore blocks
+    gc_sd: float = 0.07
+    homopolymers: int = 120    # poly-A/T/G/C runs (length geometric)
+    homopolymer_p: float = 0.25  # geometric continue-prob complement
+    str_arrays: int = 40       # microsatellites: 1-6 bp unit tandems
 
 
 def make_repeat_genome(rng, size: int, spec: RepeatSpec | None = None,
@@ -56,9 +85,10 @@ def make_repeat_genome(rng, size: int, spec: RepeatSpec | None = None,
     (for debugging / diff explanation).
     """
     spec = spec or RepeatSpec()
-    g = _rand_codes(rng, size)
+    g = _rand_codes_gc(rng, size, spec.gc_mean, spec.gc_sd)
     amb = np.zeros(size, dtype=bool)
-    layout = {"sine": [], "tandem": [], "segdup": [], "nrun": []}
+    layout = {"sine": [], "tandem": [], "segdup": [], "nrun": [],
+              "homopolymer": [], "str": []}
 
     def place(length):
         return int(rng.integers(0, size - length))
@@ -89,6 +119,23 @@ def make_repeat_genome(rng, size: int, spec: RepeatSpec | None = None,
         p = place(len(arr))
         g[p:p + len(arr)] = arr
         layout["tandem"].append((p, len(arr)))
+
+    # homopolymer runs (sequencer stress + spurious SMEM magnets)
+    for _ in range(spec.homopolymers):
+        run = 5 + int(rng.geometric(spec.homopolymer_p))
+        run = min(run, 40)
+        p = place(run)
+        g[p:p + run] = rng.integers(0, 4)
+        layout["homopolymer"].append((p, run))
+
+    # microsatellites: short-unit (1-6 bp) tandem repeats, slightly noisy
+    for _ in range(spec.str_arrays):
+        unit = _rand_codes(rng, int(rng.integers(1, 7)))
+        n_copies = int(rng.integers(8, 60))
+        arr = _mutate(rng, np.tile(unit, n_copies), 0.02)
+        p = place(len(arr))
+        g[p:p + len(arr)] = arr
+        layout["str"].append((p, len(arr)))
 
     # N runs
     for _ in range(spec.n_runs):
