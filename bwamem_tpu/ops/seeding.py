@@ -70,7 +70,6 @@ class SeedConfig:
     split_width: int = 10
     max_mem_intv: int = 20
     r2_pool: int = 4       # round-2 walk lanes per read (global pool)
-    r2_emit: int = 8       # per-lane forward-candidate slots
     r2_cand: int = 8       # round-2 backward candidate slots per read
     r3_pool: int = 8       # round-3 seed slots per read
     pair_backward: bool = False  # occ2 pair-step backward walk: halves
@@ -78,6 +77,14 @@ class SeedConfig:
     #                        work per base — LOSES on the throughput-bound
     #                        chip (BENCH_BREAKDOWN.md); kept for A/B and
     #                        latency-bound backends
+    text_walk: bool | None = None  # unique-suffix (s==1) lanes retire to
+    #                        direct text comparison. Measured on chip at
+    #                        L=150/B=16k: a 2.5x LOSS (597 vs 234 ms —
+    #                        the (P, 16)-wide per-trip text gathers cost
+    #                        more than the FM trips they save), but the
+    #                        win case is long reads, where FM-to-
+    #                        completion is O(L) full-width trips. None =
+    #                        auto: on iff the read bucket is >= 384 bp.
 
 
 def _forward_pass(fm: DeviceFMIndex, reads, lens, min_seed_len,
@@ -713,7 +720,7 @@ def _seed_strategy_pass(fm, reads, lens, min_len: int, max_intv: int):
 
 
 def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
-                    min_seed_len: int, E: int):
+                    min_seed_len: int):
     """Round-2 split re-seed forward walks (vanilla bwt_smem1a's forward
     loop with min_intv = parent occ + 1 from the parent SMEM's midpoint,
     reference tree: bwa_index/bwamem.c:133-141, bwa_index/bwt.c:381-394).
@@ -721,18 +728,26 @@ def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
     One lane per qualifying parent SMEM. A while_loop with all-dead early
     exit (floors are >= 2, so walks die in tens of steps, not L); each
     trip appends one base and records a candidate (k/s before the step,
-    end = current position) into the lane's next free slot whenever the
-    interval size changes — including the end-of-walk push at read end,
-    N bases and below-floor death, exactly the scalar push rules.
+    end = current position) whenever the interval size changes —
+    including the end-of-walk push at read end, N bases and below-floor
+    death, exactly the scalar push rules.
 
     On occ2 indexes each trip appends a base PAIR from ONE fused gather
     (fmops.forward_ext2_batch, the same trick as the round-1 scan),
     emitting both positions' candidates — half the serial trip chain;
     the per-base body remains for indexes without the pair table.
 
-    Returns (kb, sb, eb, filled, need): (R, E) candidate slot arrays
-    in (lane, end)-ascending order; `need` is the max per-lane emission
-    count (retry sizing: the stage fits when need <= E)."""
+    Emissions are TRIP-INDEXED: a trip at relative offset j can emit at
+    most one candidate per position, and it owns column j of the
+    (R, L+2) slot plane outright, so the write is one O(R)
+    dynamic-slice column per position instead of an (R, E) one-hot pass
+    per trip (measured ~2x the whole round-2 stage on chip at the old
+    learned E=128, BENCH_BREAKDOWN.md). The plane always fits every
+    possible emission, which also retires the r2_emit pool knob and its
+    whole overflow-retry/recompile class.
+
+    Returns (kb, sb, eb, filled): (R, L+2) candidate planes in
+    (lane, end)-ascending order; filled marks real emissions."""
     R = lrid.shape[0]
     B, L = reads.shape
     reads_flat = reads.reshape(-1)
@@ -742,7 +757,7 @@ def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
                    reads_flat[jnp.clip(lrid * L + lx, 0, B * L - 1)], 4)
     k0, l0, s0 = _init_single(fm, b0)
     alive0 = lvalid & (b0 < 4) & (lx < lens_l)
-    colsE = jnp.arange(E, dtype=jnp.int32)[None, :]
+    T = L + 2  # columns indexed by relative trip offset j in [1, L+1]
     lfloor = lfloor.astype(dt)
 
     def cond(st):
@@ -755,16 +770,15 @@ def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
             reads_flat[jnp.clip(lrid * L + jnp.minimum(i, L - 1),
                                 0, B * L - 1)], 4)
 
-    def push(kb, sb, eb, cnt, emit, kv, sv, ev):
-        can = emit & (cnt < E)
-        colm = (colsE == cnt[:, None]) & can[:, None]
-        kb = jnp.where(colm, kv[:, None], kb)
-        sb = jnp.where(colm, sv[:, None], sb)
-        eb = jnp.where(colm, ev[:, None], eb)
-        return kb, sb, eb, cnt + emit.astype(jnp.int32)
+    def push(kb, sb, eb, fill, j, emit, kv, sv, ev):
+        z = jnp.zeros_like(j)
+        upd = lambda a, v: jax.lax.dynamic_update_slice(
+            a, jnp.where(emit, v, 0).astype(a.dtype)[:, None], (z, j))
+        return (upd(kb, kv), upd(sb, sv), upd(eb, ev),
+                jax.lax.dynamic_update_slice(fill, emit[:, None], (z, j)))
 
     def body(st):
-        j, k, l, s, alive, cnt, kb, sb, eb = st
+        j, k, l, s, alive, kb, sb, eb, fill = st
         i = lx + j
         b = fetch(i)
         validb = (i < lens_l) & (b < 4)
@@ -774,15 +788,15 @@ def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
         ln = _sel4m(l4, bc)
         sn = jnp.where(validb & alive, _sel4m(s4, bc), 0)
         emit = alive & (sn != s) & (i >= min_seed_len)
-        kb, sb, eb, cnt = push(kb, sb, eb, cnt, emit, k, s, i)
+        kb, sb, eb, fill = push(kb, sb, eb, fill, j, emit, k, s, i)
         alive2 = alive & validb & (sn >= lfloor)
         k = jnp.where(alive2, kn, k)
         l = jnp.where(alive2, ln, l)
         s = jnp.where(alive2, sn, s)
-        return j + 1, k, l, s, alive2, cnt, kb, sb, eb
+        return j + 1, k, l, s, alive2, kb, sb, eb, fill
 
     def body2(st):
-        j, k, l, s, alive, cnt, kb, sb, eb = st
+        j, k, l, s, alive, kb, sb, eb, fill = st
         i1 = lx + j
         i2 = i1 + 1
         b1 = fetch(i1)
@@ -794,28 +808,27 @@ def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
         # sub-step 1 (position i1): emit against the pre-pair state
         s1n = jnp.where(v1 & alive, s1, 0)
         emit1 = alive & (s1n != s) & (i1 >= min_seed_len)
-        kb, sb, eb, cnt = push(kb, sb, eb, cnt, emit1, k, s, i1)
+        kb, sb, eb, fill = push(kb, sb, eb, fill, j, emit1, k, s, i1)
         alive1 = alive & v1 & (s1n >= lfloor)
         # sub-step 2 (position i2): only lanes that survived sub-step 1
         s2n = jnp.where(v2 & alive1, s2, 0)
         emit2 = alive1 & (s2n != s1n) & (i2 >= min_seed_len)
-        kb, sb, eb, cnt = push(kb, sb, eb, cnt, emit2, k1, s1n, i2)
+        kb, sb, eb, fill = push(kb, sb, eb, fill, j + 1, emit2, k1, s1n,
+                                i2)
         alive2 = alive1 & v2 & (s2n >= lfloor)
         # freeze-on-death: a lane dead at sub-step 1 keeps the pre-pair
         # state; dead at sub-step 2 keeps the after-one-append state
         k = jnp.where(alive2, k2, jnp.where(alive1, k1, k))
         l = jnp.where(alive2, l2, jnp.where(alive1, l1, l))
         s = jnp.where(alive2, s2n, jnp.where(alive1, s1n, s))
-        return j + 2, k, l, s, alive2, cnt, kb, sb, eb
+        return j + 2, k, l, s, alive2, kb, sb, eb, fill
 
     st = (jnp.int32(1), k0, l0, s0, alive0,
-          jnp.zeros((R,), jnp.int32),
-          jnp.zeros((R, E), dt), jnp.zeros((R, E), dt),
-          jnp.zeros((R, E), jnp.int32))
+          jnp.zeros((R, T), dt), jnp.zeros((R, T), dt),
+          jnp.zeros((R, T), jnp.int32), jnp.zeros((R, T), bool))
     st = jax.lax.while_loop(cond, body2 if fm.has_occ2 else body, st)
-    _, _, _, _, _, cnt, kb, sb, eb = st
-    filled = colsE < jnp.minimum(cnt, E)[:, None]
-    return kb, sb, eb, filled, jnp.max(cnt, initial=0)
+    _, _, _, _, _, kb, sb, eb, fill = st
+    return kb, sb, eb, fill
 
 
 def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size,
@@ -999,7 +1012,7 @@ def smem_seed_batch_stacked(fm: DeviceFMIndex, reads, lens,
     """smem_seed_batch with the output pool pre-stacked on device so the
     host fetch is a single coalesced D2H with no eager stacking
     dispatches. The head row packs the scalars
-    [n_seeds, overflow, over_mult, mults x 6] into its first lanes (a
+    [n_seeds, overflow, over_mult, mults x 5] into its first lanes (a
     second tiny D2H costs a full tunnel round-trip, so the scalars ride
     in a pool row).
 
@@ -1088,7 +1101,9 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
     else:
         bw = (_backward_pass2 if fm.has_occ2 and cfg.pair_backward
               else _backward_pass)
-        qbeg, k, s, rdir = bw(fm, reads, rid, start, k, s, valid)
+        tw = cfg.text_walk if cfg.text_walk is not None else (L >= 384)
+        qbeg, k, s, rdir = bw(fm, reads, rid, start, k, s, valid,
+                              text_walk=tw)
         if cfg.mode == "mem":
             keep = _dup_filter(qbeg, rid, s, valid, end, cfg.min_seed_len)
         else:
@@ -1102,7 +1117,7 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
     _cd = lambda need, cap: (need.astype(jnp.int32) + (cap - 1)) // cap
     one = jnp.int32(1)
     m_cand = _cd(c_need, cand_cap)
-    m_r2lane = m_r2emit = m_r2cand = m_r3 = one
+    m_r2lane = m_r2cand = m_r3 = one
     if cfg.reseed and cfg.mode == "smem":
         # vanilla bwa's rounds 2+3 (bwa_index/bwamem.c:129-159); the
         # merged interval list is re-sorted to vanilla's (qbeg, qend)
@@ -1115,10 +1130,9 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         lane_cap = B * cfg.r2_pool
         (lrid, lx, lfloor), lvalid, l_need = _compact_flat(
             (rid, (qbeg + end) >> 1, (s + 1).astype(dt)), qualify, lane_cap)
-        kb, sb, eb, filled, f_need = _reseed_forward(
-            fm, reads, lens, lrid, lx, lfloor, lvalid, cfg.min_seed_len,
-            cfg.r2_emit)
-        E = cfg.r2_emit
+        kb, sb, eb, filled = _reseed_forward(
+            fm, reads, lens, lrid, lx, lfloor, lvalid, cfg.min_seed_len)
+        E = kb.shape[1]  # trip-indexed plane: always fits, never retries
         flat = lambda a: jnp.broadcast_to(a[:, None], (lane_cap, E)
                                           ).reshape(-1)
         lane_ids = flat(jnp.arange(lane_cap, dtype=jnp.int32))
@@ -1137,7 +1151,6 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         keep2 = _containment_filter(qb2, end2, lane2, v2, cfg.min_seed_len)
         parts.append((rid2, qb2, end2, k2e, s2e, keep2, rdir2))
         m_r2lane = _cd(l_need, lane_cap)
-        m_r2emit = _cd(f_need, E)
         m_r2cand = _cd(c2_need, cand2_cap)
         # ---- round 3: LAST-like forward seeds ----
         if cfg.max_mem_intv > 0:
@@ -1180,8 +1193,8 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         rdir=rdir)
     m_seed = _cd(out["need"], B * cfg.seed_pool)
     # per-stage multipliers, order matching SeedConfig pool fields:
-    # (cand_pool, r2_pool, r2_emit, r2_cand, r3_pool, seed_pool)
-    mults = jnp.stack([m_cand, m_r2lane, m_r2emit, m_r2cand, m_r3, m_seed])
+    # (cand_pool, r2_pool, r2_cand, r3_pool, seed_pool)
+    mults = jnp.stack([m_cand, m_r2lane, m_r2cand, m_r3, m_seed])
     out["mults"] = mults
     mult = jnp.max(mults)
     out["over_mult"] = mult

@@ -414,15 +414,34 @@ class MemAligner:
             (smem_seed_batch_stacked — packed (5, P) int32 on narrow
             indexes, wide (7, P) otherwise); other paths stack here."""
             if not isinstance(raw, dict) and raw.shape[0] == 5:
-                pool = np.asarray(raw)  # packed, single D2H
-                head = pool[4]
-                P = pool.shape[1]
+                P = raw.shape[1]
+                import os as _os
+                pf_min = int(_os.environ.get(
+                    "BWAMEM_TPU_PREFIX_FETCH_MIN", 65536))
+                if P > pf_min:
+                    # two-step prefix fetch: scalars first (tiny D2H),
+                    # then ONLY the valid prefix of the data rows. The
+                    # learned pools are sized for the worst workload this
+                    # class has ever seen, so a blind full-pool D2H ships
+                    # mostly garbage over a ~40 MiB/s tunnel (measured
+                    # 10.5 MB/chunk at seed_pool=32 vs ~2 live seeds/read
+                    # on the bench genome). Prefix length quantizes to a
+                    # power of two to bound the slice-executable variety.
+                    head = np.asarray(raw[4, :3 + len(POOL_FIELDS)])
+                    n = int(head[0])
+                    nf = 1 << max(n - 1, 1).bit_length()
+                    nf = min(max(nf, 8192), P)
+                    pool = np.asarray(raw[:4, :nf] if nf < P else raw[:4])
+                else:
+                    pool = np.asarray(raw)  # packed, single D2H
+                    head = pool[4]
+                    n = int(head[0])
                 mults = {f: max(int(head[3 + i]), 1)
                          for i, f in enumerate(POOL_FIELDS)}
                 return dict(
                     read_id=pool[0], qbeg=pool[1] >> 16,
                     qend=pool[1] & 0xFFFF, rbeg=pool[2], n_occ=pool[3],
-                    valid=np.arange(P) < int(head[0]),
+                    valid=np.arange(pool.shape[1]) < n,
                     n_seeds=head[0], overflow=head[1] > 0,
                     over_mult=max(int(head[2]), 1), mults=mults)
             if not isinstance(raw, dict):
@@ -441,7 +460,8 @@ class MemAligner:
                     # paths without per-stage mults (bowtie) have ONE
                     # pool: map over_mult onto the seed_pool slot
                     raw["mults"].astype(jnp.int32) if "mults" in raw
-                    else jnp.stack([jnp.int32(1)] * 5 + [om])])
+                    else jnp.stack([jnp.int32(1)] * (len(POOL_FIELDS) - 1)
+                                   + [om])])
                 pool = np.asarray(pool_d)
                 head = np.asarray(head_d)
             mults = {f: max(int(head[3 + i]), 1)

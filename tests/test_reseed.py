@@ -47,7 +47,7 @@ def device_seeds(idx, reads_list, max_occ=500, **cfg_kw):
         reads[i, : len(r)] = r
         lens[i] = len(r)
     cfg = SeedConfig(min_seed_len=MSL, max_occ=max_occ, reseed=True,
-                     cand_pool=64, seed_pool=512, r2_pool=16, r2_emit=16,
+                     cand_pool=64, seed_pool=512, r2_pool=16,
                      r2_cand=32, r3_pool=8, **cfg_kw)
     out = smem_seed_batch(fm, jnp.asarray(reads), jnp.asarray(lens), cfg)
     out = {k: np.asarray(v) for k, v in out.items()}

@@ -265,3 +265,31 @@ def test_pool_sizes_persist_across_aligners(env, monkeypatch):
     assert a2.seed_cfg.seed_pool >= learned
     assert "seed pool overflow" not in cap.getvalue()
     assert got == a1.seed_batch(reads)
+
+
+def test_prefix_fetch_identical_seeds(env, monkeypatch):
+    """The two-step prefix D2H (scalars first, then only the valid pool
+    prefix — bench pools ship ~10 MB of mostly-garbage slots otherwise)
+    must produce byte-identical seed lists to the full-pool fetch."""
+    import numpy as np
+
+    from bwamem_tpu.index.build import build_index_from_codes
+    from bwamem_tpu.index.format import Annotation
+    from bwamem_tpu.ops.seeding import SeedConfig
+    from bwamem_tpu.pipeline.aligner import MemAligner
+    from bwamem_tpu.pipeline.options import MemOptions
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 4, 30000, dtype=np.uint8)
+    ann = Annotation(names=["c"], lengths=[30000], offsets=[0])
+    idx = build_index_from_codes(g, ann, sa_intv=8)
+    reads = []
+    for _ in range(40):
+        p = int(rng.integers(0, 30000 - 120))
+        reads.append(g[p:p + 120].copy())
+    full = MemAligner(MemOptions(), idx,
+                      seed_cfg=SeedConfig(reseed=True)).seed_batch(reads)
+    monkeypatch.setenv("BWAMEM_TPU_PREFIX_FETCH_MIN", "1")
+    pref = MemAligner(MemOptions(), idx,
+                      seed_cfg=SeedConfig(reseed=True)).seed_batch(reads)
+    assert full == pref

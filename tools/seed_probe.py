@@ -74,15 +74,17 @@ def main() -> None:
             pool = np.asarray(out)
         dt = (time.perf_counter() - t0) / reps
         pools[name] = pool
-        n_seeds = int(pool[6, 0])
-        overflow = int(pool[6, 1])
+        # head row is the last row in both stacked formats (packed (5,P)
+        # int32 / wide (7,P) int64, ops/seeding.py:997-1045)
+        n_seeds = int(pool[-1, 0])
+        overflow = int(pool[-1, 1])
         print(f"{name:16s} {dt * 1e3:8.1f} ms  ({B / dt:9.0f} reads/s) "
               f" n_seeds={n_seeds} ovf={overflow} compile={compile_t:.0f}s",
               flush=True)
     for a, b in (("on_single_bw", "on_pair_bw"),
                  ("off_single_bw", "off_pair_bw")):
         if a in pools and b in pools:
-            same = np.array_equal(pools[a][:6], pools[b][:6])
+            same = np.array_equal(pools[a][:-1], pools[b][:-1])
             print(f"pools equal {a} vs {b}: {same}")
 
 

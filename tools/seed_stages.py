@@ -44,7 +44,23 @@ def main() -> None:
     rj = jnp.asarray(reads)
     lj = jnp.asarray(lens)
 
-    cfg = S.SeedConfig(reseed=True, seed_pool=16)
+    # product pools: adopt the learned sidecar sizes for this class the
+    # way MemAligner does, so the breakdown times the REAL executable
+    # (env overrides: SEED_STAGES_<FIELD>=n)
+    from bwamem_tpu.pipeline.poolstore import PoolStore
+    learned = PoolStore().lookup(PoolStore.key("smem", True, 19, 160)) or {}
+    for f in ("cand_pool", "r2_pool", "r2_cand", "r3_pool",
+              "seed_pool"):
+        v = os.environ.get(f"SEED_STAGES_{f.upper()}")
+        if v is not None:
+            learned[f] = int(v)
+    cfg = S.SeedConfig(reseed=True, **{"seed_pool": 16, **learned})
+    pair = os.environ.get("SEED_STAGES_PAIR", "0") == "1"
+    bw = S._backward_pass2 if pair else S._backward_pass
+    print(f"cfg pools: cand={cfg.cand_pool} seed={cfg.seed_pool} "
+          f"r2_pool={cfg.r2_pool} "
+          f"r2_cand={cfg.r2_cand} r3_pool={cfg.r3_pool} "
+          f"backward={'pair' if pair else 'single'}", flush=True)
 
     def stage_fn(upto: str):
         @jax.jit
@@ -65,8 +81,7 @@ def main() -> None:
                 (start, end, k, s), emit, cand_cap)
             if upto == "compact":
                 return start.sum() + end.sum() + k.sum() + s.sum()
-            qbeg, k, s, rdir = S._backward_pass2(fm, reads, rid, start, k,
-                                                 s, valid)
+            qbeg, k, s, rdir = bw(fm, reads, rid, start, k, s, valid)
             if upto == "backward":
                 return qbeg.sum() + k.sum() + s.sum() + rdir.sum()
             keep = S._containment_filter(qbeg, end, rid, valid,
@@ -79,10 +94,9 @@ def main() -> None:
             (lrid, lx, lfloor), lvalid, l_need = S._compact_flat(
                 (rid, (qbeg + end) >> 1, (s + 1).astype(dt)), qualify,
                 lane_cap)
-            kb, sb, eb, filled, f_need = S._reseed_forward(
-                fm, reads, lens, lrid, lx, lfloor, lvalid, cfg.min_seed_len,
-                cfg.r2_emit)
-            E = cfg.r2_emit
+            kb, sb, eb, filled = S._reseed_forward(
+                fm, reads, lens, lrid, lx, lfloor, lvalid, cfg.min_seed_len)
+            E = kb.shape[1]
             flat = lambda a: jnp.broadcast_to(
                 a[:, None], (lane_cap, E)).reshape(-1)
             lane_ids = flat(jnp.arange(lane_cap, dtype=jnp.int32))
@@ -92,7 +106,7 @@ def main() -> None:
                     (flat(lrid), lane_ids, flat(lx), flat(lfloor),
                      kb.reshape(-1), sb.reshape(-1), eb.reshape(-1)),
                     filled.reshape(-1), cand2_cap)
-            qb2, k2e, s2e, rdir2 = S._backward_pass2(
+            qb2, k2e, s2e, rdir2 = bw(
                 fm, reads, rid2, x2, k2, s2, v2, floor=floor2, group=lane2,
                 text_walk=False)
             keep2 = S._containment_filter(qb2, end2, lane2, v2,
