@@ -519,6 +519,10 @@ def _idx_streams(idx):
 
 
 def _reg_arrays(per_read_regs):
+    from ..pipeline.regarrays import RegArrays
+
+    if isinstance(per_read_regs, RegArrays):
+        return per_read_regs.flat()  # no object round-trip (SE fast path)
     B = len(per_read_regs)
     counts = np.fromiter((len(r) for r in per_read_regs), np.int64, B)
     reg_off = np.zeros(B + 1, np.int64)

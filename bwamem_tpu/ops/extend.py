@@ -268,19 +268,37 @@ def extend_choose_desc_jit(fm, reads_dev, j_read, j_qstart, j_qlen,
     pipeline (~6 MB/chunk at ~60 MiB/s; BENCH_BREAKDOWN.md). The left
     job's reversal is j_dir = -1 (reference builds reversed copies
     instead, src/bwamem.c:1324-1341)."""
-    from .refgather import gather_bases
+    from .refgather import (_extract_words_ascending, gather_window_fast,
+                            pack_codes_2bit)
 
     B, L = reads_dev.shape
-    reads_flat = reads_dev.reshape(-1).astype(jnp.int32)
+    # Word-granular window extraction: a job's bases are CONTIGUOUS in
+    # its read / in the genome, so gather 16-base packed words and
+    # extract in-register — ~9x fewer gather indices than the per-base
+    # path (measured 107 of 118 ms of this function at N=32k on chip).
+    # A descending (left-extension, j_dir=-1) window is the static
+    # column flip of the ascending window that ENDS at the start point.
+    dirp = (j_dir > 0)
     arq = jnp.arange(qmax, dtype=jnp.int32)[None, :]
-    qpos = j_qstart[:, None] + j_dir[:, None].astype(jnp.int32) * arq
-    qidx = j_read[:, None] * L + qpos
     qv = arq < j_qlen[:, None]
-    Q = jnp.where(qv, reads_flat[jnp.clip(qidx, 0, B * L - 1)], 4)
+    q_words, q_nplane = pack_codes_2bit(reads_dev)
+    Wr = q_words.shape[1]
+    q0 = jnp.where(dirp, j_qstart, j_qstart - (qmax - 1))
+    # flatten to word-table coords; windows stay within one read row for
+    # all VALID columns (job construction), the rest is masked to 4 (a
+    # negative or neighbor-row start only ever feeds masked columns)
+    qf0 = j_read * (Wr * 16) + q0
+    Qa = _extract_words_ascending(q_words.reshape(-1), qf0, qmax)
+    Qn = _extract_words_ascending(q_nplane.reshape(-1), qf0, qmax)
+    Qa = jnp.where(Qn > 0, 4, Qa)
+    Q = jnp.where(dirp[:, None], Qa, Qa[:, ::-1])
+    Q = jnp.where(qv, Q, 4)
     art = jnp.arange(tmax, dtype=jnp.int32)[None, :]
-    tpos = (j_tstart[:, None]
-            + (j_dir[:, None] * art).astype(j_tstart.dtype))
-    T = jnp.where(art < j_tlen[:, None], gather_bases(fm, tpos), 4)
+    t0 = jnp.where(dirp, j_tstart,
+                   j_tstart - jnp.asarray(tmax - 1, j_tstart.dtype))
+    Ta = gather_window_fast(fm, t0, tmax)
+    T = jnp.where(dirp[:, None], Ta, Ta[:, ::-1])
+    T = jnp.where(art < j_tlen[:, None], T, 4)
     # dtype parity with the materialized path (int8 staging)
     out = extend_batch_auto(Q.astype(jnp.int8), T.astype(jnp.int8),
                             j_qlen, j_tlen, h0, mat, params)

@@ -34,22 +34,18 @@ def gather_bases(fm: DeviceFMIndex, pos):
     return jnp.where(valid, base, 4)
 
 
-def _extract_ascending(fm: DeviceFMIndex, f0, length: int):
-    """Base codes of the FORWARD-pac windows [f0, f0+length) per batch
-    element, by gathering whole packed words (16 bases each) and
-    extracting in-register: ~length/16 row-gathers per window instead of
-    `length` (the per-base path was ~40% of the flagship step's
-    extension side). Out-of-range positions yield garbage — callers
-    mask. f0: (N,) any int dtype."""
+def _extract_words_ascending(words, f0, length: int):
+    """Base codes of windows [f0, f0+length) over an arbitrary packed
+    2-bit word table (base j of word w at bit shift 30 - 2*(j & 15)).
+    Out-of-range positions yield garbage — callers mask."""
     N = f0.shape[0]
     W = length // 16 + 2
-    f0 = f0.astype(jnp.int64) if fm.wide else f0.astype(jnp.int32)
     w0 = f0 >> 4
     a0 = (f0 & 15).astype(jnp.uint32)
-    n_words = fm.pac_words.shape[0]
+    n_words = words.shape[0]
     widx = jnp.clip(w0[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :],
                     0, n_words - 1).astype(jnp.int32)
-    w = fm.pac_words[widx].astype(jnp.uint32)          # (N, W)
+    w = words[widx].astype(jnp.uint32)                 # (N, W)
     sh = (2 * a0)[:, None]
     lo = jnp.where(sh > 0, w << sh, w)
     hi = jnp.where(sh > 0, w >> (32 - sh), jnp.uint32(0))
@@ -59,6 +55,33 @@ def _extract_ascending(fm: DeviceFMIndex, f0, length: int):
     rep = jnp.repeat(comb, 16, axis=1)[:, :length]     # (N, length)
     t = jnp.arange(length, dtype=jnp.uint32)[None, :]
     return ((rep >> (30 - 2 * (t & 15))) & 3).astype(jnp.int32)
+
+
+def pack_codes_2bit(codes):
+    """Pack (B, L) int codes into the extractor's word layout. Returns
+    (words, nplane): (B, ceil(L/16)) uint32 each — 2-bit base codes
+    (N/pad packed as 0) and a parallel 2-bit N/pad-flag plane, both
+    consumable by _extract_words_ascending on flattened indices."""
+    B, L = codes.shape
+    Wr = -(-L // 16)
+    pad = Wr * 16 - L
+    c = codes.astype(jnp.int32)
+    if pad:
+        c = jnp.concatenate(
+            [c, jnp.full((B, pad), 4, jnp.int32)], axis=1)
+    is_n = (c >= 4) | (c < 0)
+    b2 = jnp.where(is_n, 0, c).astype(jnp.uint32).reshape(B, Wr, 16)
+    nf = is_n.astype(jnp.uint32).reshape(B, Wr, 16)
+    sh = (30 - 2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    words = (b2 << sh).sum(axis=2, dtype=jnp.uint32)
+    nplane = (nf << sh).sum(axis=2, dtype=jnp.uint32)
+    return words, nplane
+
+
+def _extract_ascending(fm: DeviceFMIndex, f0, length: int):
+    """Forward-pac window extraction (see _extract_words_ascending)."""
+    f0 = f0.astype(jnp.int64) if fm.wide else f0.astype(jnp.int32)
+    return _extract_words_ascending(fm.pac_words, f0, length)
 
 
 def gather_window_fast(fm: DeviceFMIndex, start, length: int):

@@ -1012,7 +1012,8 @@ def smem_seed_batch_stacked(fm: DeviceFMIndex, reads, lens,
     """smem_seed_batch with the output pool pre-stacked on device so the
     host fetch is a single coalesced D2H with no eager stacking
     dispatches. The head row packs the scalars
-    [n_seeds, overflow, over_mult, mults x 5] into its first lanes (a
+    [n_seeds, overflow, over_mult, mults x 5, needs x 5] into its first
+    lanes (a
     second tiny D2H costs a full tunnel round-trip, so the scalars ride
     in a pool row).
 
@@ -1035,8 +1036,11 @@ def smem_seed_batch_stacked(fm: DeviceFMIndex, reads, lens,
         row = row.at[0].set(out["n_seeds"].astype(row.dtype))
         row = row.at[1].set(out["overflow"].astype(row.dtype))
         row = row.at[2].set(out["over_mult"].astype(row.dtype))
-        return jax.lax.dynamic_update_slice(
+        row = jax.lax.dynamic_update_slice(
             row, out["mults"].astype(row.dtype), (3,))
+        nf = out["mults"].shape[0]
+        return jax.lax.dynamic_update_slice(
+            row, out["needs"].astype(row.dtype), (3 + nf,))
 
     if dt == jnp.int32 and B <= 0xFFFF and L <= 0x7FFF:
         qpack = (jnp.maximum(out["qbeg"], 0) << 16) | \
@@ -1116,8 +1120,10 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
     # for a seed_pool-only overflow; see BENCH_BREAKDOWN.md)
     _cd = lambda need, cap: (need.astype(jnp.int32) + (cap - 1)) // cap
     one = jnp.int32(1)
+    zero = jnp.int32(0)
     m_cand = _cd(c_need, cand_cap)
     m_r2lane = m_r2cand = m_r3 = one
+    n_r2lane = n_r2cand = n_r3 = zero
     if cfg.reseed and cfg.mode == "smem":
         # vanilla bwa's rounds 2+3 (bwa_index/bwamem.c:129-159); the
         # merged interval list is re-sorted to vanilla's (qbeg, qend)
@@ -1152,6 +1158,8 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         parts.append((rid2, qb2, end2, k2e, s2e, keep2, rdir2))
         m_r2lane = _cd(l_need, lane_cap)
         m_r2cand = _cd(c2_need, cand2_cap)
+        n_r2lane = l_need.astype(jnp.int32)
+        n_r2cand = c2_need.astype(jnp.int32)
         # ---- round 3: LAST-like forward seeds ----
         if cfg.max_mem_intv > 0:
             if r3_planes is not None:  # fused into the round-1 scan
@@ -1171,6 +1179,7 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
             parts.append((rid3, qb3, end3, k3, s3, v3 & (s3 > 0),
                           jnp.full_like(k3, -1)))
             m_r3 = _cd(c3_need, B * cfg.r3_pool)
+            n_r3 = c3_need.astype(jnp.int32)
         # ---- merge + vanilla (qbeg, qend) interval sort ----
         cols = list(zip((rid, qbeg, end, k.astype(dt), s.astype(dt), keep,
                          rdir.astype(dt)),
@@ -1196,6 +1205,13 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
     # (cand_pool, r2_pool, r2_cand, r3_pool, seed_pool)
     mults = jnp.stack([m_cand, m_r2lane, m_r2cand, m_r3, m_seed])
     out["mults"] = mults
+    # absolute per-pool emission counts (same field order): the sidecar
+    # learns a high-water mark from these so later processes can start
+    # SMALLER than a one-off worst case — oversized pools directly cost
+    # backward/SA-walk lanes and argsort width (BENCH_BREAKDOWN.md)
+    out["needs"] = jnp.stack([c_need.astype(jnp.int32), n_r2lane,
+                              n_r2cand, n_r3,
+                              out["need"].astype(jnp.int32)])
     mult = jnp.max(mults)
     out["over_mult"] = mult
     out["overflow"] = mult > 1

@@ -427,7 +427,8 @@ class MemAligner:
                     # 10.5 MB/chunk at seed_pool=32 vs ~2 live seeds/read
                     # on the bench genome). Prefix length quantizes to a
                     # power of two to bound the slice-executable variety.
-                    head = np.asarray(raw[4, :3 + len(POOL_FIELDS)])
+                    head = np.asarray(
+                        raw[4, :3 + 2 * len(POOL_FIELDS)])
                     n = int(head[0])
                     nf = 1 << max(n - 1, 1).bit_length()
                     nf = min(max(nf, 8192), P)
@@ -436,14 +437,18 @@ class MemAligner:
                     pool = np.asarray(raw)  # packed, single D2H
                     head = pool[4]
                     n = int(head[0])
+                F = len(POOL_FIELDS)
                 mults = {f: max(int(head[3 + i]), 1)
+                         for i, f in enumerate(POOL_FIELDS)}
+                needs = {f: int(head[3 + F + i])
                          for i, f in enumerate(POOL_FIELDS)}
                 return dict(
                     read_id=pool[0], qbeg=pool[1] >> 16,
                     qend=pool[1] & 0xFFFF, rbeg=pool[2], n_occ=pool[3],
                     valid=np.arange(pool.shape[1]) < n,
                     n_seeds=head[0], overflow=head[1] > 0,
-                    over_mult=max(int(head[2]), 1), mults=mults)
+                    over_mult=max(int(head[2]), 1), mults=mults,
+                    needs=needs)
             if not isinstance(raw, dict):
                 pool = np.asarray(raw)  # (7, P), single D2H
                 head = pool[6]
@@ -461,16 +466,23 @@ class MemAligner:
                     # pool: map over_mult onto the seed_pool slot
                     raw["mults"].astype(jnp.int32) if "mults" in raw
                     else jnp.stack([jnp.int32(1)] * (len(POOL_FIELDS) - 1)
-                                   + [om])])
+                                   + [om]),
+                    raw["needs"].astype(jnp.int32) if "needs" in raw
+                    else jnp.zeros(len(POOL_FIELDS), jnp.int32)])
                 pool = np.asarray(pool_d)
                 head = np.asarray(head_d)
+            F = len(POOL_FIELDS)
             mults = {f: max(int(head[3 + i]), 1)
                      for i, f in enumerate(POOL_FIELDS)}
+            needs = ({f: int(head[3 + F + i])
+                      for i, f in enumerate(POOL_FIELDS)}
+                     if head.shape[0] >= 3 + 2 * F else {})
             return dict(read_id=pool[0], qbeg=pool[1], qend=pool[2],
                         rbeg=pool[3], n_occ=pool[4],
                         valid=pool[5].astype(bool),
                         n_seeds=head[0], overflow=head[1] > 0,
-                        over_mult=max(int(head[2]), 1), mults=mults)
+                        over_mult=max(int(head[2]), 1), mults=mults,
+                        needs=needs)
 
         # seed counts grow linearly with read length: pre-scale the two
         # round-1 pools for long-read chunks so the first one doesn't pay
@@ -498,7 +510,8 @@ class MemAligner:
             f"st{opt.seed_type}" if opt.seed_type in (2, 4)
             else ("fwdmem" if opt.seed_type == 3
                   else "mem" if opt.re_seed else "smem"),
-            self.seed_cfg.reseed, opt.min_seed_len, L)
+            self.seed_cfg.reseed, opt.min_seed_len, L,
+            gid=int(getattr(self.idx, "l_pac", 0)))
         learned = self.pool_store.lookup(pool_key)
         if learned:
             updates = {f: v for f, v in learned.items()
@@ -529,9 +542,15 @@ class MemAligner:
                   + ", ".join(f"{f}={v}" for f, v in updates.items()),
                   file=sys.stderr)
         if not bool(out["overflow"]):
-            # converged: persist so the NEXT process starts here
+            # converged: persist caps + per-read need high-water so the
+            # NEXT process starts right-sized — neither retrying up nor
+            # dragging a one-off worst case's oversized pools around
+            needs = out.get("needs") or {}
+            hwm = {f: v / max(len(seqs), 1)
+                   for f, v in needs.items() if v > 0}
             self.pool_store.update(pool_key, {
-                f: getattr(self.seed_cfg, f) for f in POOL_FIELDS})
+                f: getattr(self.seed_cfg, f) for f in POOL_FIELDS},
+                hwm=hwm)
         if bool(out["overflow"]):
             # spill path: pools are at their per-read cap and STILL
             # overflow. The pool is GLOBAL (B * cap slots shared across
@@ -714,23 +733,26 @@ class MemAligner:
                                         q_off, F)
         obj_span = self._span("reg_objects")
         obj_span.__enter__()
-        per: list[list[AlnReg]] = []
-        for b in range(B):
-            lst = []
-            base = int(reg_off[b])
-            for j in range(int(oc[b])):
-                k = int(oi[base + j])
-                a = AlnReg(
-                    rb=int(F["rb"][k]), re=int(F["re"][k]),
-                    qb=int(F["qb"][k]), qe=int(F["qe"][k]),
-                    rid=int(F["rid"][k]), score=int(F["score"][k]),
-                    truesc=int(F["truesc"][k]), sub=int(F["sub"][k]),
-                    csub=int(F["csub"][k]), w=int(F["w"][k]),
-                    seedcov=int(F["seedcov"][k]),
-                    n_comp=int(F["n_comp"][k]),
-                    is_alt=bool(alts[k]), frac_rep=float(fracs[k]))
-                lst.append(a)
-            per.append(lst)
+        # vectorized survivor selection into the array-backed container —
+        # the AlnReg-object round-trip here was ~0.16 s/chunk of
+        # GIL-holding Python at 16k reads (BENCH_BREAKDOWN.md); the
+        # native finalize re-flattened the objects right back anyway
+        from .regarrays import RegArrays
+
+        oc64 = oc.astype(np.int64)
+        new_off = np.zeros(B + 1, np.int64)
+        np.cumsum(oc64, out=new_off[1:])
+        tot = int(new_off[-1])
+        row_start = np.repeat(reg_off[:B], oc64)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            new_off[:B], oc64)
+        take = oi[row_start + within]
+        cols = {name: F[name][take]
+                for name in ("rb", "re", "qb", "qe", "score", "truesc",
+                             "sub", "csub", "w", "seedcov", "rid")}
+        cols["is_alt"] = alts[take].astype(np.int8)
+        cols["frac"] = np.asarray(fracs, np.float64)[take]
+        per = RegArrays(new_off, cols, n_comp=F["n_comp"][take])
         obj_span.__exit__(None, None, None)
         return per
 

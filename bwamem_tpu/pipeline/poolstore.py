@@ -37,32 +37,74 @@ def default_path() -> str:
                      "pools.json"))
 
 
+def _quant(x: float) -> int:
+    """Quantize a pool size up: powers of two through 8, then multiples
+    of 8 (bounds the executable variety without pow2's 2x overshoot)."""
+    import math
+
+    x = max(int(math.ceil(x)), 1)
+    return 1 << (x - 1).bit_length() if x <= 8 else -(-x // 8) * 8
+
+
+# start size = high-water per-read need x this margin (one overflow
+# retry self-corrects an underestimate and raises the stored hwm)
+_HWM_MARGIN = 1.5
+
+
 class PoolStore:
     def __init__(self, path: str | None = None):
         self.path = path or default_path()
         self._lock = threading.Lock()
-        self._data: dict[str, dict[str, int]] = {}
+        self._data: dict[str, dict] = {}
         try:
             with open(self.path) as f:
                 raw = json.load(f)
             if isinstance(raw, dict):
-                self._data = {
-                    k: {f_: int(v[f_]) for f_ in POOL_FIELDS if f_ in v}
-                    for k, v in raw.items() if isinstance(v, dict)}
+                for k, v in raw.items():
+                    if not isinstance(v, dict):
+                        continue
+                    ent = {f_: int(v[f_]) for f_ in POOL_FIELDS if f_ in v}
+                    hwm = v.get("_hwm")
+                    if isinstance(hwm, dict):
+                        ent["_hwm"] = {f_: float(hwm[f_])
+                                       for f_ in POOL_FIELDS if f_ in hwm}
+                    self._data[k] = ent
         except (OSError, ValueError):
             pass
 
     @staticmethod
-    def key(mode: str, reseed: bool, min_seed_len: int, L: int) -> str:
-        return f"{mode}:rs{int(bool(reseed))}:msl{min_seed_len}:L{L}"
+    def key(mode: str, reseed: bool, min_seed_len: int, L: int,
+            gid: int | None = None) -> str:
+        """gid: genome identity (l_pac) — pool pressure is a property of
+        the (genome, read profile) pair; without it a one-off repeat-rich
+        run permanently over-provisions every later workload."""
+        base = f"{mode}:rs{int(bool(reseed))}:msl{min_seed_len}:L{L}"
+        return base if gid is None else f"{base}:g{int(gid)}"
 
     def lookup(self, key: str) -> dict[str, int] | None:
+        """Starting pool sizes for this class: the high-water per-read
+        need x margin when recorded (lets pools START SMALLER than a
+        converged worst-case cap — oversized pools cost backward/SA-walk
+        lanes and argsort width every chunk), else the converged cap."""
         with self._lock:
             v = self._data.get(key)
-            return dict(v) if v else None
+            if not v:
+                return None
+            hwm = v.get("_hwm", {})
+            out = {}
+            for f_ in POOL_FIELDS:
+                if f_ in hwm:
+                    cap = v.get(f_)
+                    sz = _quant(hwm[f_] * _HWM_MARGIN)
+                    out[f_] = min(sz, cap) if cap else sz
+                elif f_ in v:
+                    out[f_] = v[f_]
+            return out or None
 
-    def update(self, key: str, fields: dict[str, int]) -> None:
-        """Max-merge `fields` into the entry; persist if anything grew."""
+    def update(self, key: str, fields: dict[str, int],
+               hwm: dict[str, float] | None = None) -> None:
+        """Max-merge converged caps (and per-read need high-water marks)
+        into the entry; persist if anything grew."""
         with self._lock:
             cur = self._data.setdefault(key, {})
             changed = False
@@ -70,6 +112,12 @@ class PoolStore:
                 if f_ in POOL_FIELDS and int(v) > cur.get(f_, 0):
                     cur[f_] = int(v)
                     changed = True
+            if hwm:
+                ch = cur.setdefault("_hwm", {})
+                for f_, v in hwm.items():
+                    if f_ in POOL_FIELDS and float(v) > ch.get(f_, 0.0):
+                        ch[f_] = float(v)
+                        changed = True
             if not changed:
                 return
             try:

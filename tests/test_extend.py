@@ -91,3 +91,63 @@ def test_end_choice_rule():
     assert list(np.asarray(s)) == [10, 10, 9]
     assert list(np.asarray(q)) == [5, 5, 8]
     assert list(np.asarray(t)) == [6, 6, 7]
+
+
+def test_desc_descriptor_gather_matches_materialized():
+    """extend_choose_desc_jit (device gathers Q/T from HBM-resident
+    reads + packed genome, word-granular with the descending-window
+    flip) must equal extend_choose_jit on host-materialized tiles for
+    both directions, strands, and reads containing N."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from bwamem_tpu.index.build import build_index_from_codes
+    from bwamem_tpu.index.device import DeviceFMIndex
+    from bwamem_tpu.index.format import Annotation
+    from bwamem_tpu.ops.extend import (ExtendParams, extend_choose_jit,
+                                       extend_choose_desc_jit,
+                                       make_score_matrix)
+
+    rng = np.random.default_rng(77)
+    G, L, B = 50_000, 128, 64
+    g = rng.integers(0, 4, G, dtype=np.uint8)
+    ann = Annotation(names=["c"], lengths=[G], offsets=[0])
+    idx = build_index_from_codes(g, ann, sa_intv=8)
+    fm = DeviceFMIndex.from_host(idx)
+    reads = np.stack([g[p:p + L] for p in rng.integers(0, G - L, B)])
+    reads = reads.astype(np.int8)
+    reads[3, 40:43] = 4  # N run inside a read
+    N, QMAX, TMAX = 128, 96, 160
+    jr = rng.integers(0, B, N).astype(np.int32)
+    jdir = np.where(rng.random(N) < 0.5, 1, -1).astype(np.int8)
+    ql = rng.integers(10, 90, N).astype(np.int32)
+    jqs = np.where(jdir > 0,
+                   rng.integers(0, 30, N),
+                   rng.integers(95, L - 1, N)).astype(np.int32)
+    tl = (ql + rng.integers(0, 60, N)).astype(np.int32)
+    # doubled coords spanning both strands; keep windows in range
+    jts = rng.integers(TMAX + 2, 2 * G - TMAX - 2, N).astype(np.int64)
+    h0 = rng.integers(15, 40, N).astype(np.int32)
+    mat = jnp.asarray(make_score_matrix(1, 4))
+    params = ExtendParams()
+
+    # host-materialized truth
+    from bwamem_tpu.ops.refgather import gather_bases
+    reads_j = jnp.asarray(reads)
+    Q = np.full((N, QMAX), 4, np.int8)
+    T = np.full((N, TMAX), 4, np.int8)
+    for i in range(N):
+        for x in range(ql[i]):
+            q = jqs[i] + int(jdir[i]) * x
+            Q[i, x] = reads[jr[i], q] if 0 <= q < L else 4
+        tp = jts[i] + int(jdir[i]) * np.arange(tl[i], dtype=np.int64)
+        T[i, :tl[i]] = np.asarray(
+            gather_bases(fm, jnp.asarray(tp)), np.int8)
+    want = np.asarray(extend_choose_jit(
+        jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql), jnp.asarray(tl),
+        jnp.asarray(h0), mat, params, 5))
+    got = np.asarray(extend_choose_desc_jit(
+        fm, reads_j, jnp.asarray(jr), jnp.asarray(jqs), jnp.asarray(ql),
+        jnp.asarray(jts), jnp.asarray(tl), jnp.asarray(jdir),
+        jnp.asarray(h0), mat, params, 5, QMAX, TMAX))
+    np.testing.assert_array_equal(got, want)

@@ -48,7 +48,10 @@ def main() -> None:
     # way MemAligner does, so the breakdown times the REAL executable
     # (env overrides: SEED_STAGES_<FIELD>=n)
     from bwamem_tpu.pipeline.poolstore import PoolStore
-    learned = PoolStore().lookup(PoolStore.key("smem", True, 19, 160)) or {}
+    learned = (PoolStore().lookup(PoolStore.key("smem", True, 19, 160,
+                                                gid=G))
+               or PoolStore().lookup(PoolStore.key("smem", True, 19, 160))
+               or {})
     for f in ("cand_pool", "r2_pool", "r2_cand", "r3_pool",
               "seed_pool"):
         v = os.environ.get(f"SEED_STAGES_{f.upper()}")
@@ -81,7 +84,8 @@ def main() -> None:
                 (start, end, k, s), emit, cand_cap)
             if upto == "compact":
                 return start.sum() + end.sum() + k.sum() + s.sum()
-            qbeg, k, s, rdir = bw(fm, reads, rid, start, k, s, valid)
+            qbeg, k, s, rdir = bw(fm, reads, rid, start, k, s, valid,
+                                  text_walk=L >= 384)
             if upto == "backward":
                 return qbeg.sum() + k.sum() + s.sum() + rdir.sum()
             keep = S._containment_filter(qbeg, end, rid, valid,
