@@ -126,7 +126,7 @@ def main_e2e() -> None:
     from bwamem_tpu.io.fastx import SeqRecord
     from bwamem_tpu.pipeline.runtime import run_pipeline
 
-    n_iter = 3 if not small else 1
+    n_iter = 6 if not small else 1  # 6 chunks: amortize pipeline ramp (lookahead=2)
     batches = [mk(s_) for s_ in range(3, 3 + n_iter)]  # outside the clock
 
     def records():

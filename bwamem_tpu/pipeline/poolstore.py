@@ -38,12 +38,14 @@ def default_path() -> str:
 
 
 def _quant(x: float) -> int:
-    """Quantize a pool size up: powers of two through 8, then multiples
-    of 8 (bounds the executable variety without pow2's 2x overshoot)."""
+    """Quantize a pool size up: exact integers through 8 (tiny pools
+    multiply whole device passes — pow2 rounding 3->4 costs a third of a
+    backward/forward stage), multiples of 8 above (bounds executable
+    variety; hwm is max-merged so sizes stabilize quickly)."""
     import math
 
     x = max(int(math.ceil(x)), 1)
-    return 1 << (x - 1).bit_length() if x <= 8 else -(-x // 8) * 8
+    return x if x <= 8 else -(-x // 8) * 8
 
 
 # start size = high-water per-read need x this margin (one overflow
