@@ -375,18 +375,30 @@ def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
 
     ext = lambda k_, s_, c_: fmops.backward_ext_ks_batch(fm, k_, s_, c_)
 
-    # prefetch each lane's left-of-start window in ONE gather pass:
-    # while a lane is still extending at trip t, the base it needs is
-    # exactly window[:, t] (its qb only moves when it extends), so the
-    # per-trip random gather becomes a column slice. Lanes that walk past
-    # the window fall through to the gather path in the while tail.
+    # prefetch each lane's left-of-start window in ONE pass: while a
+    # lane is still extending at trip t, the base it needs is exactly
+    # window[:, t] (its qb only moves when it extends), so the per-trip
+    # random gather becomes a column slice. Lanes that walk past the
+    # window fall through to the gather path in the while tail.
+    # Word-granular: the window is contiguous in the read, so extract
+    # 16-base packed words (descending = static flip of the ascending
+    # window ending at qbeg-1) — 1/16th the gather indices of the
+    # per-element build (which was ~12.6M indices at 786k lanes).
     FIXED_TRIPS = 16   # p100 walk = 17 on 1%-error reads; the while
     #                    tail below handles rarer longer walks exactly
+    from .refgather import _extract_words_ascending, pack_codes_2bit
+
     w_off = jnp.arange(FIXED_TRIPS, dtype=jnp.int32)
-    w_idx = (rid * L + qbeg - 1)[:, None] - w_off[None, :]
-    window = jnp.where(
-        qbeg[:, None] - 1 - w_off[None, :] >= 0,
-        reads_flat[jnp.clip(w_idx, 0, B * L - 1)], 4)
+    r_words, r_nplane = pack_codes_2bit(reads)
+    Wr16 = r_words.shape[1] * 16
+    wf0 = rid * Wr16 + qbeg - FIXED_TRIPS
+    w_asc = _extract_words_ascending(r_words.reshape(-1), wf0,
+                                     FIXED_TRIPS)
+    w_n = _extract_words_ascending(r_nplane.reshape(-1), wf0,
+                                   FIXED_TRIPS)
+    window = jnp.where(w_n[:, ::-1] > 0, 4, w_asc[:, ::-1])
+    window = jnp.where(qbeg[:, None] - 1 - w_off[None, :] >= 0,
+                       window, 4)
 
     def cond(state):
         _, _, _, done, it = state
@@ -764,11 +776,22 @@ def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
         j, _, _, _, alive = st[:5]
         return jnp.logical_and(jnp.any(alive), j <= L)
 
-    def fetch(i):
-        return jnp.where(
-            i < lens_l,
-            reads_flat[jnp.clip(lrid * L + jnp.minimum(i, L - 1),
-                                0, B * L - 1)], 4)
+    # word-granular walk-window prefetch: the walk reads positions
+    # lx+1..lx+L in order, so extract each lane's window once (~10
+    # word-gathers/lane) and make the per-trip fetch a column slice
+    from .refgather import _extract_words_ascending, pack_codes_2bit
+
+    r_words, r_nplane = pack_codes_2bit(reads)
+    Wr16 = r_words.shape[1] * 16
+    wf0 = lrid * Wr16 + lx + 1
+    w_b = _extract_words_ascending(r_words.reshape(-1), wf0, L + 1)
+    w_nf = _extract_words_ascending(r_nplane.reshape(-1), wf0, L + 1)
+    win = jnp.where(w_nf > 0, 4, w_b)
+
+    def fetch(i, j):
+        col = jax.lax.dynamic_index_in_dim(win, j - 1, axis=1,
+                                           keepdims=False)
+        return jnp.where(i < lens_l, col, 4)
 
     def push(kb, sb, eb, fill, j, emit, kv, sv, ev):
         z = jnp.zeros_like(j)
@@ -780,7 +803,7 @@ def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
     def body(st):
         j, k, l, s, alive, kb, sb, eb, fill = st
         i = lx + j
-        b = fetch(i)
+        b = fetch(i, j)
         validb = (i < lens_l) & (b < 4)
         k4, l4, s4 = fmops.forward_ext4_batch(fm, k, l, s)
         bc = jnp.clip(b, 0, 3)
@@ -799,8 +822,8 @@ def _reseed_forward(fm, reads, lens, lrid, lx, lfloor, lvalid,
         j, k, l, s, alive, kb, sb, eb, fill = st
         i1 = lx + j
         i2 = i1 + 1
-        b1 = fetch(i1)
-        b2 = fetch(i2)
+        b1 = fetch(i1, j)
+        b2 = fetch(i2, j + 1)
         v1 = (i1 < lens_l) & (b1 < 4)
         v2 = (i2 < lens_l) & (b2 < 4)
         (k1, l1, s1), (k2, l2, s2) = fmops.forward_ext2_batch(
@@ -1187,13 +1210,20 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         rid_m, qb_m, end_m, k_m, s_m, keep_m, rdir_m = (
             jnp.concatenate([c.astype(cols[i][0].dtype) for c in cols[i]])
             for i in range(7))
-        span = jnp.int64(L + 2)
+        # 32-bit sort keys when (B, L) fit — the merged-pool argsort is
+        # one of the largest remaining seeding stages and int32 sorts
+        # roughly 2x faster than int64 on the VPU
+        if B * (L + 2) * (L + 2) < (1 << 31):
+            kdt, sentinel = jnp.int32, jnp.int32((1 << 30) + (1 << 29))
+        else:
+            kdt, sentinel = jnp.int64, jnp.int64(1) << 62
+        span = kdt(L + 2)
         key = jnp.where(
             keep_m,
-            (rid_m.astype(jnp.int64) * span
-             + jnp.clip(qb_m, 0, L + 1).astype(jnp.int64)) * span
-            + jnp.clip(end_m, 0, L + 1).astype(jnp.int64),
-            jnp.int64(1) << 62)
+            (rid_m.astype(kdt) * span
+             + jnp.clip(qb_m, 0, L + 1).astype(kdt)) * span
+            + jnp.clip(end_m, 0, L + 1).astype(kdt),
+            sentinel)
         perm = jnp.argsort(key)
         rid, qbeg, end, k, s, keep, rdir = (
             a[perm] for a in (rid_m, qb_m, end_m, k_m, s_m, keep_m, rdir_m))

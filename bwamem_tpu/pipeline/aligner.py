@@ -418,7 +418,10 @@ class MemAligner:
                 import os as _os
                 pf_min = int(_os.environ.get(
                     "BWAMEM_TPU_PREFIX_FETCH_MIN", 65536))
-                if P > pf_min:
+                # when the pool ran ~full last chunk the prefix fetch
+                # degenerates to full-pool + one extra round-trip; skip it
+                near_full = getattr(self, "_last_nf", 0) > 0.75 * P
+                if P > pf_min and not near_full:
                     # two-step prefix fetch: scalars first (tiny D2H),
                     # then ONLY the valid prefix of the data rows. The
                     # learned pools are sized for the worst workload this
@@ -433,10 +436,12 @@ class MemAligner:
                     nf = 1 << max(n - 1, 1).bit_length()
                     nf = min(max(nf, 8192), P)
                     pool = np.asarray(raw[:4, :nf] if nf < P else raw[:4])
+                    self._last_nf = n
                 else:
                     pool = np.asarray(raw)  # packed, single D2H
                     head = pool[4]
                     n = int(head[0])
+                    self._last_nf = n
                 F = len(POOL_FIELDS)
                 mults = {f: max(int(head[3 + i]), 1)
                          for i, f in enumerate(POOL_FIELDS)}
