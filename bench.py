@@ -167,7 +167,7 @@ def main_pe() -> None:
     rng = np.random.default_rng(777)
     genome_len = 4_600_000 if not small else 400_000
     read_len = 150
-    n_pairs = 4096 if not small else 256
+    n_pairs = 8192 if not small else 256  # 16k reads/chunk, same as SE
     g = rng.integers(0, 4, genome_len, dtype=np.uint8)
     ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
     idx = build_index_from_codes(g, ann, sa_intv=4)

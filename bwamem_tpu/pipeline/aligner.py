@@ -1013,6 +1013,12 @@ class MemAligner:
                 "[bwamem-tpu] error: paired-end input has an odd number of "
                 "reads — not valid interleaved PE data")
         per_read_regs = self.collect_regs_batch(seqs)
+        from .regarrays import RegArrays
+
+        if isinstance(per_read_regs, RegArrays):
+            # materialize ONCE: pestat iteration + pair grouping below
+            # would otherwise each rebuild the objects per read
+            per_read_regs = per_read_regs.to_lists()
         if pes is None:
             with self._span("pestat"):
                 pes = self.pes_fixed or mem_pestat(opt, idx.l_pac,
