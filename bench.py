@@ -6,14 +6,25 @@ fused seed+extend step (the two stages the reference offloads to GPU).
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Measured on an E. coli-scale random genome with 150 bp reads at 1%
-substitution error.
+Measured on an E. coli-scale REPEAT-RICH simulated genome
+(utils/simgenome.py: isochores, SINE family, tandem/microsatellite
+arrays, a segmental duplication) with 150 bp reads at 1% substitution
+error — the same genome family every concordance suite runs on, so the
+perf headline and the correctness evidence share a distribution.
+`--random-genome` keeps the old uniform-random genome as an A/B line
+(uniform random has almost no repeats: shorter backward walks, fewer
+occurrences — an easier workload).
 
 vs_baseline: BASELINE.json publishes no absolute numbers; the reference
 README's single-thread end-to-end speedup is 6.8-8.7x over bwa-mem on a
 2080 Ti. We normalize against 50,000 reads/s per chip, a 2080 Ti-class
 throughput estimate for this read profile (so 1.0 ~= GPU parity per
 chip), for BOTH metrics — the e2e number is the one that counts.
+
+Every successful ON-CHIP run persists its figure to BENCH_SE_r{N}.json /
+BENCH_PE_r{N}.json next to this file (reference analog: the always-
+appended time.log, src/main.c:73,123) so a tunnel flap at round end can
+never erase the round's evidence.
 """
 from __future__ import annotations
 
@@ -26,21 +37,41 @@ import time
 import numpy as np
 
 BASELINE_READS_PER_S = 50_000.0
+ROUND = 4  # artifact suffix: BENCH_SE_r04.json etc.
 
 # Appended to the metric name when the accelerator backend was
 # unreachable and the run fell back to CPU (see _ensure_live_backend).
 _METRIC_SUFFIX = ""
 
 
-def _ensure_live_backend(timeout: float = 240.0) -> None:
+def _persist(kind: str, result: dict) -> None:
+    """Write the figure as a committed artifact (only untagged on-chip
+    numbers; a cpu_fallback line is liveness, not evidence)."""
+    if _METRIC_SUFFIX:
+        return
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            f"BENCH_{kind}_r{ROUND:02d}.json")
+        with open(path, "w") as f:
+            json.dump(result, f)
+            f.write("\n")
+    except OSError:
+        pass
+
+
+def _ensure_live_backend(probe_timeout: float = 240.0,
+                         total_budget: float = 600.0) -> None:
     """Guard against a hung device tunnel: probe the default backend in a
     SUBPROCESS (a hung backend blocks at first dispatch with 0 CPU time,
-    so an in-process check would hang this script with it). On failure,
-    pin THIS process to JAX_PLATFORMS=cpu before jax is imported and tag
-    the metric, so the bench always emits its one JSON line.
+    so an in-process check would hang this script with it). The probe
+    RETRIES until `total_budget` is spent — a transient tunnel flap at
+    the wrong minute must not erase a round's perf record (round 3's
+    single-shot probe did exactly that). Only after the full budget does
+    the run pin JAX_PLATFORMS=cpu and tag the metric, so the bench always
+    emits its one JSON line.
 
     First-compile on the tunneled chip is ~20-40s and the first D2H can
-    stall 60-160s, hence the generous timeout.
+    stall 60-160s, hence the generous per-attempt timeout.
     """
     global _METRIC_SUFFIX
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
@@ -53,52 +84,91 @@ def _ensure_live_backend(timeout: float = 240.0) -> None:
     probe = ("import jax, jax.numpy as jnp; "
              "assert float(jnp.arange(8.0).sum()) == 28.0; "
              "print('BENCH_PROBE_OK')")
-    try:
-        r = subprocess.run([sys.executable, "-c", probe],
-                           capture_output=True, text=True, timeout=timeout,
-                           env=os.environ.copy())
-        ok = "BENCH_PROBE_OK" in r.stdout
-    except (subprocess.TimeoutExpired, OSError):
-        ok = False
-    if not ok:
-        print(f"[bench] device backend unreachable after {timeout:.0f}s "
-              "probe; falling back to CPU", file=sys.stderr)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        # the axon sitecustomize force-sets jax_platforms="axon,cpu"
-        # (config beats env), so the env var alone would still dial the
-        # dead tunnel at first dispatch — re-pin the config too
-        import jax
+    t_start = time.monotonic()
+    attempt = 0
+    ok = False
+    while True:
+        attempt += 1
+        budget_left = total_budget - (time.monotonic() - t_start)
+        if attempt > 1 and budget_left <= 5:
+            break
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, text=True,
+                timeout=max(min(probe_timeout, budget_left), 30.0),
+                env=os.environ.copy())
+            ok = "BENCH_PROBE_OK" in r.stdout
+        except (subprocess.TimeoutExpired, OSError):
+            ok = False
+        if ok:
+            return
+        budget_left = total_budget - (time.monotonic() - t_start)
+        if budget_left <= 60:
+            break
+        print(f"[bench] probe attempt {attempt} failed; retrying "
+              f"({budget_left:.0f}s of budget left)", file=sys.stderr)
+        time.sleep(min(60.0, budget_left / 2))
+    print(f"[bench] device backend unreachable after {attempt} probe "
+          f"attempts / {total_budget:.0f}s; falling back to CPU",
+          file=sys.stderr)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # the axon sitecustomize force-sets jax_platforms="axon,cpu"
+    # (config beats env), so the env var alone would still dial the
+    # dead tunnel at first dispatch — re-pin the config too
+    import jax
 
-        jax.config.update("jax_platforms", "cpu")
-        _METRIC_SUFFIX = "_cpu_fallback"
+    jax.config.update("jax_platforms", "cpu")
+    _METRIC_SUFFIX = "_cpu_fallback"
+
+
+def _bench_world(genome_len: int, seed: int = 12345, random_genome=None):
+    """(codes, contig_strs, index) for the bench genome. Default:
+    repeat-rich simulated genome (one contig — contig count doesn't
+    change the work); --random-genome: the old uniform A/B."""
+    from bwamem_tpu.index.build import build_index_from_codes
+    from bwamem_tpu.index.format import Annotation
+
+    if random_genome is None:
+        random_genome = "--random-genome" in sys.argv
+    rng = np.random.default_rng(seed)
+    if random_genome:
+        g = rng.integers(0, 4, genome_len, dtype=np.uint8)
+        ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
+        idx = build_index_from_codes(g, ann, sa_intv=4)
+        return g, None, idx
+    from bwamem_tpu.io.fastx import _CODE_LUT
+    from bwamem_tpu.utils.simgenome import make_repeat_genome
+
+    contigs, _ = make_repeat_genome(rng, genome_len, n_contigs=1)
+    seq = contigs[0][1]
+    g = _CODE_LUT[np.frombuffer(seq.encode(), np.uint8)].copy()
+    amb = g > 3
+    # pac convention: ambiguous bases stored as random ACGT (the .amb
+    # sidecar records the N runs; reads over them simply mismatch)
+    g[amb] = rng.integers(0, 4, int(amb.sum()), dtype=np.uint8)
+    ann = Annotation(names=[contigs[0][0]], lengths=[len(g)], offsets=[0])
+    idx = build_index_from_codes(g, ann, sa_intv=4)
+    return g, contigs, idx
 
 
 def main_e2e() -> None:
     """--e2e: full-pipeline steady-state throughput (seeding + chaining +
     extension + dedup + SAM) on one chip, reported the same way."""
-    import time
-
-    import numpy as np
+    from bwamem_tpu.pipeline.aligner import MemAligner
+    from bwamem_tpu.pipeline.options import MemOptions
 
     # CPU fallback must still emit its JSON line before any driver
     # timeout: shrink the run (the tagged metric is a liveness signal,
     # not a performance claim)
     small = bool(_METRIC_SUFFIX)
 
-    from bwamem_tpu.index.build import build_index_from_codes
-    from bwamem_tpu.index.format import Annotation
-    from bwamem_tpu.pipeline.aligner import MemAligner
-    from bwamem_tpu.pipeline.options import MemOptions
-
-    rng = np.random.default_rng(12345)
     genome_len = 4_600_000 if not small else 400_000
     read_len = 150
     # 16k-read chunks amortize the tunnel's fixed per-dispatch costs;
     # vanilla bwa's own chunk is 10 Mbp (~67k reads of 150 bp)
     batch = 16384 if not small else 512
-    g = rng.integers(0, 4, genome_len, dtype=np.uint8)
-    ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
-    idx = build_index_from_codes(g, ann, sa_intv=4)
+    g, _contigs, idx = _bench_world(genome_len)
     al = MemAligner(MemOptions(), idx)
 
     def mk(seed):
@@ -139,12 +209,14 @@ def main_e2e() -> None:
     n_done = run_pipeline(records(), al, batch * read_len, sink)
     dt = (time.perf_counter() - t0) / n_iter
     assert n_done == batch * n_iter
-    print(json.dumps({
+    result = {
         "metric": "e2e_align_reads_per_s" + _METRIC_SUFFIX,
         "value": round(batch / dt, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(batch / dt / BASELINE_READS_PER_S, 3),
-    }))
+    }
+    print(json.dumps(result))
+    _persist("SE", result)
 
 
 def main_pe() -> None:
@@ -154,23 +226,16 @@ def main_pe() -> None:
     two reads)."""
     import io
 
-    import numpy as np
-
-    from bwamem_tpu.index.build import build_index_from_codes
-    from bwamem_tpu.index.format import Annotation
     from bwamem_tpu.io.fastx import SeqRecord
     from bwamem_tpu.pipeline.aligner import MemAligner
     from bwamem_tpu.pipeline.options import MemOptions
     from bwamem_tpu.pipeline.runtime import run_pipeline
 
     small = bool(_METRIC_SUFFIX)
-    rng = np.random.default_rng(777)
     genome_len = 4_600_000 if not small else 400_000
     read_len = 150
     n_pairs = 8192 if not small else 256  # 16k reads/chunk, same as SE
-    g = rng.integers(0, 4, genome_len, dtype=np.uint8)
-    ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
-    idx = build_index_from_codes(g, ann, sa_intv=4)
+    g, _contigs, idx = _bench_world(genome_len, seed=777)
     al = MemAligner(MemOptions(), idx)
 
     def mk(seed):
@@ -213,24 +278,14 @@ def main_pe() -> None:
         "vs_baseline": round(n_pairs / dt / (BASELINE_READS_PER_S / 2), 3),
     }
     print(json.dumps(result))
-    # persist the PE figure as a committed artifact (VERDICT r2 #3: the
-    # driver's record keeps only the LAST stdout line, which is SE)
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_PE_r03.json"), "w") as f:
-            json.dump(result, f)
-            f.write("\n")
-    except OSError:
-        pass
+    _persist("PE", result)
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from bwamem_tpu.index.build import build_index_from_codes
     from bwamem_tpu.index.device import DeviceFMIndex
-    from bwamem_tpu.index.format import Annotation
     from bwamem_tpu.models.mem import AlignStepConfig, device_align_step
 
     small = bool(_METRIC_SUFFIX)
@@ -239,9 +294,7 @@ def main() -> None:
     read_len = 150
     batch = 16384 if not small else 1024
 
-    g = rng.integers(0, 4, genome_len, dtype=np.uint8)
-    ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
-    idx = build_index_from_codes(g, ann, sa_intv=4)
+    g, _contigs, idx = _bench_world(genome_len)
     fm = DeviceFMIndex.from_host(idx)
 
     pos = rng.integers(0, genome_len - read_len, batch)
@@ -294,7 +347,7 @@ if __name__ == "__main__":
     else:
         # default (the driver's invocation): PE line FIRST, SE e2e line
         # LAST — the driver records the last JSON line as the headline,
-        # and the PE figure lands in BENCH_PE_r03.json (VERDICT r2 #3).
+        # and both figures land in BENCH_{SE,PE}_r{N}.json artifacts.
         # On CPU fallback skip PE to keep the liveness line fast.
         if not _METRIC_SUFFIX:
             try:

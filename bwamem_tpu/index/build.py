@@ -18,6 +18,10 @@ from ..utils.dna import encode, pack_2bit
 from .format import Annotation, FMIndex, OCC_BLOCK_BASES, SSA_BLOCK_ROWS
 from .suffix_array import suffix_array
 
+# slice length for the streamed build passes in build_index_from_codes
+# (tests shrink it to exercise the chunk-boundary logic at toy sizes)
+_BUILD_CHUNK = 1 << 27
+
 
 def read_fasta(path: str) -> list[tuple[str, np.ndarray, str]]:
     """Parse FASTA into [(name, codes, description)] with codes 0..4."""
@@ -109,11 +113,22 @@ def build_index_from_codes(
     # Conceptual SA over T$ : row 0 is the sentinel suffix (value seq_len).
     primary = int(np.flatnonzero(sa == 0)[0]) + 1
 
+    # Everything below streams over `sa` in bounded slices: at human
+    # scale (2*l_pac ~ 6.2e9) whole-array fancy indexing would
+    # materialize multiple ~50 GB int64 temporaries next to the 50 GB
+    # suffix array itself (BASELINE configs 3/4; the reference's build
+    # has the same pass structure via bwt_cal_sa, bwa_index/bwt.c:63).
+    CH = _BUILD_CHUNK  # rows/slice: <= ~1.1 GB of int64 temp per pass
+
     # BWT over T$ with the sentinel row removed (bwa convention).
     # BWT$[r] = T[SA$[r]-1]; at r=0, SA$[0]=seq_len -> T[seq_len-1].
     bwt_full = np.empty(seq_len + 1, dtype=np.uint8)
     bwt_full[0] = T[seq_len - 1]
-    bwt_full[1:] = T[(sa - 1) % seq_len]  # value at primary row is bogus ($)
+    for lo in range(0, seq_len, CH):
+        v = sa[lo : lo + CH].astype(np.int64, copy=True)
+        v -= 1
+        v[v < 0] = seq_len - 1  # value at primary row is bogus ($)
+        bwt_full[1 + lo : 1 + lo + len(v)] = T[v]
     B = np.delete(bwt_full, primary)
 
     counts = np.bincount(B, minlength=4)[:4]
@@ -126,48 +141,70 @@ def build_index_from_codes(
     n_blocks = (seq_len + OCC_BLOCK_BASES - 1) // OCC_BLOCK_BASES + 1
     Bp = np.zeros(n_blocks * OCC_BLOCK_BASES, dtype=np.uint8)
     Bp[:seq_len] = B
-    one_hot = (Bp.reshape(n_blocks, OCC_BLOCK_BASES)[:, :, None]
-               == np.arange(4)[None, None, :])
-    per_block = one_hot.sum(axis=1).astype(np.int64)
+    occ_blocks = np.empty((n_blocks, 8), dtype=np.uint32)
     # counts before each block; padding bases (code 0) in the last block are
     # harmless because queries never exceed seq_len.
-    cum = np.zeros((n_blocks, 4), dtype=np.int64)
-    cum[1:] = np.cumsum(per_block, axis=0)[:-1]
+    run = np.zeros(4, dtype=np.int64)
+    CHB = CH // OCC_BLOCK_BASES
+    for blo in range(0, n_blocks, CHB):
+        bhi = min(blo + CHB, n_blocks)
+        blk = Bp[blo * OCC_BLOCK_BASES : bhi * OCC_BLOCK_BASES].reshape(
+            bhi - blo, OCC_BLOCK_BASES)
+        per_block = (blk[:, :, None] == np.arange(4)[None, None, :]).sum(
+            axis=1).astype(np.int64)
+        cum = np.zeros((bhi - blo, 4), dtype=np.int64)
+        cum[1:] = np.cumsum(per_block, axis=0)[:-1]
+        occ_blocks[blo:bhi, :4] = (cum + run).astype(np.uint32)
+        occ_blocks[blo:bhi, 4:] = pack_2bit(blk.reshape(-1)).reshape(
+            bhi - blo, 4)
+        run += per_block.sum(axis=0)
     # keep the final partial block's padding (code 0) out of the terminal
     # row: store true totals there, as the reference's trailing occ entry
     # does (bwa_index/bwtindex.c:186-188) — the row is only ever queried
     # when seq_len is a block multiple, in which case it already is
-    cum[-1] = counts
-    occ_blocks = np.empty((n_blocks, 8), dtype=np.uint32)
-    occ_blocks[:, :4] = cum.astype(np.uint32)
-    occ_blocks[:, 4:] = pack_2bit(Bp).reshape(n_blocks, 4)
+    occ_blocks[-1, :4] = counts.astype(np.uint32)
 
     # text-position sampled SA over the (seq_len+1)-row conceptual SA
-    sa_full = np.empty(seq_len + 1, dtype=np.int64)
-    sa_full[0] = seq_len
-    sa_full[1:] = sa
-    sampled = (sa_full % sa_intv) == 0
+    # (row 0 = sentinel suffix, value seq_len), streamed in slices
     n_sblocks = (seq_len + 1 + SSA_BLOCK_ROWS - 1) // SSA_BLOCK_ROWS
     bits = np.zeros(n_sblocks * SSA_BLOCK_ROWS, dtype=bool)
-    bits[: seq_len + 1] = sampled
+    bits[0] = (seq_len % sa_intv) == 0
+    n_sampled = int(bits[0])
+    for lo in range(0, seq_len, CH):
+        v = sa[lo : lo + CH]
+        m = (v % sa_intv) == 0
+        bits[1 + lo : 1 + lo + len(v)] = m
+        n_sampled += int(m.sum())
+    # split SA values: uint32 low words + uint8 upper bits (the reference
+    # packs upper bits the same way for >4G-position genomes,
+    # bwa_index/bwt.c:88-148; uint8 covers seq_len < 2^40)
+    ssa_vals = np.empty(n_sampled, dtype=np.uint32)
+    ssa_vals_hi = np.empty(n_sampled, dtype=np.uint8)
+    if bits[0]:
+        ssa_vals[0] = seq_len & 0xFFFFFFFF
+        ssa_vals_hi[0] = seq_len >> 32
+    w = int(bits[0])
+    for lo in range(0, seq_len, CH):
+        v = sa[lo : lo + CH]
+        sel = v[bits[1 + lo : 1 + lo + len(v)]]
+        ssa_vals[w : w + len(sel)] = (sel & 0xFFFFFFFF).astype(np.uint32)
+        ssa_vals_hi[w : w + len(sel)] = (sel >> 32).astype(np.uint8)
+        w += len(sel)
+    assert w == n_sampled
     bits = bits.reshape(n_sblocks, SSA_BLOCK_ROWS)
     per_block_rank = bits.sum(axis=1).astype(np.int64)
     rank_before = np.zeros(n_sblocks, dtype=np.int64)
     rank_before[1:] = np.cumsum(per_block_rank)[:-1]
-    weights_lo = (1 << np.arange(32, dtype=np.uint64))
-    bits_lo = (bits[:, :32].astype(np.uint64) * weights_lo).sum(axis=1)
-    bits_hi = (bits[:, 32:].astype(np.uint64) * weights_lo).sum(axis=1)
+    # little-endian 64-bit bitmap per block, as two uint32 words
+    # (packbits keeps the temp at n_sblocks*8 bytes — the old
+    # broadcast-multiply built a 32x-wider uint64 plane)
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    words = np.ascontiguousarray(packed).view(np.uint32)
     ssa_blocks = np.empty((n_sblocks, 4), dtype=np.uint32)
     ssa_blocks[:, 0] = rank_before.astype(np.uint32)
-    ssa_blocks[:, 1] = bits_lo.astype(np.uint32)
-    ssa_blocks[:, 2] = bits_hi.astype(np.uint32)
+    ssa_blocks[:, 1] = words[:, 0]
+    ssa_blocks[:, 2] = words[:, 1]
     ssa_blocks[:, 3] = 0
-    # split SA values: uint32 low words + uint8 upper bits (the reference
-    # packs upper bits the same way for >4G-position genomes,
-    # bwa_index/bwt.c:88-148; uint8 covers seq_len < 2^40)
-    sampled_vals = sa_full[sampled]
-    ssa_vals = (sampled_vals & 0xFFFFFFFF).astype(np.uint32)
-    ssa_vals_hi = (sampled_vals >> 32).astype(np.uint8)
 
     assert seq_len < (1 << 33), "genomes above 2^33 doubled bases unsupported"
 

@@ -1212,8 +1212,10 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
             for i in range(7))
         # 32-bit sort keys when (B, L) fit — the merged-pool argsort is
         # one of the largest remaining seeding stages and int32 sorts
-        # roughly 2x faster than int64 on the VPU
-        if B * (L + 2) * (L + 2) < (1 << 31):
+        # roughly 2x faster than int64 on the VPU. Any live key is
+        # < B*(L+2)^2, so requiring that bound <= sentinel guarantees
+        # dropped rows (= sentinel) sort strictly after every live one.
+        if B * (L + 2) * (L + 2) <= (1 << 30) + (1 << 29):
             kdt, sentinel = jnp.int32, jnp.int32((1 << 30) + (1 << 29))
         else:
             kdt, sentinel = jnp.int64, jnp.int64(1) << 62

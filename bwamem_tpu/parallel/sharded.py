@@ -114,13 +114,18 @@ def sharded_seed_batch(mesh: Mesh, fm: DeviceFMIndex, reads, lens, cfg,
         out.pop("need", None)
         over_mult = jax.lax.pmax(out.pop("over_mult"), axis)
         mults = jax.lax.pmax(out.pop("mults"), axis)
+        # per-pool emission counts: SUM across shards (the sidecar stores
+        # a per-READ high-water mark — total emissions / global batch —
+        # so a P(axis)-concatenated vector would parse as shard 0 only)
+        needs = jax.lax.psum(out.pop("needs"), axis)
         out.pop("overflow")
-        return out, (n_seeds, over_mult, mults)
+        return out, (n_seeds, over_mult, mults, needs)
 
-    out, (n_seeds, over_mult, mults) = jax.jit(step)(fm, reads, lens)
+    out, (n_seeds, over_mult, mults, needs) = jax.jit(step)(fm, reads, lens)
     out["n_seeds"] = n_seeds
     out["over_mult"] = over_mult
     out["mults"] = mults
+    out["needs"] = needs
     out["overflow"] = over_mult > 1
     return out
 

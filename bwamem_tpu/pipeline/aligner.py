@@ -306,6 +306,9 @@ class MemAligner:
         # set by run_pipeline so the -v report breaks "collect" down
         self.timings = None
         self.pes_fixed = None  # -I fixed insert-size model (pes0)
+        # per-pool-width "seeds last chunk" counts for the prefix-fetch
+        # heuristic (see fetch() in seed_batch_arrays)
+        self._last_nf: dict[int, int] = {}
         from .poolstore import get_store
 
         self.pool_store = get_store()
@@ -363,13 +366,15 @@ class MemAligner:
                     [reads, np.full((Bp - B, L), 4, reads.dtype)])
                 lens = np.concatenate([lens, np.zeros(Bp - B, lens.dtype)])
         # ONE upload shared by every retry launch AND by the extension
-        # stage's descriptor gather (extend_choose_desc_jit); the stash
-        # is validated by batch size in _collect_native (a spill split
-        # leaves a half-batch buffer behind — then extension re-uploads)
+        # stage's descriptor gather (extend_choose_desc_jit). The buffer
+        # travels WITH the batch (in the returned seed-arrays dict), never
+        # as aligner instance state: lookahead=2 runs two collect()
+        # threads concurrently on this aligner, and a shared stash would
+        # hand chunk A's extension chunk B's reads (silent corruption).
         reads_j = jnp.asarray(reads)
         lens_j = jnp.asarray(lens)
-        if self.mesh is None:
-            self._reads_stage = (len(seqs), L, reads_j)
+        reads_stage = ((len(seqs), L, reads_j)
+                       if self.mesh is None else None)
 
         def launch(cfg):
             if opt.seed_type in (2, 4):
@@ -419,8 +424,13 @@ class MemAligner:
                 pf_min = int(_os.environ.get(
                     "BWAMEM_TPU_PREFIX_FETCH_MIN", 65536))
                 # when the pool ran ~full last chunk the prefix fetch
-                # degenerates to full-pool + one extra round-trip; skip it
-                near_full = getattr(self, "_last_nf", 0) > 0.75 * P
+                # degenerates to full-pool + one extra round-trip; skip
+                # it. Keyed by pool width: concurrent collect() threads
+                # (lookahead=2) may interleave writes, but only chunks of
+                # the same shape class share an entry, so a stale read is
+                # just "the other in-flight chunk's count" — an equally
+                # valid predictor (GIL makes the dict update atomic).
+                near_full = self._last_nf.get(P, 0) > 0.75 * P
                 if P > pf_min and not near_full:
                     # two-step prefix fetch: scalars first (tiny D2H),
                     # then ONLY the valid prefix of the data rows. The
@@ -436,12 +446,12 @@ class MemAligner:
                     nf = 1 << max(n - 1, 1).bit_length()
                     nf = min(max(nf, 8192), P)
                     pool = np.asarray(raw[:4, :nf] if nf < P else raw[:4])
-                    self._last_nf = n
+                    self._last_nf[P] = n
                 else:
                     pool = np.asarray(raw)  # packed, single D2H
                     head = pool[4]
                     n = int(head[0])
-                    self._last_nf = n
+                    self._last_nf[P] = n
                 F = len(POOL_FIELDS)
                 mults = {f: max(int(head[3 + i]), 1)
                          for i, f in enumerate(POOL_FIELDS)}
@@ -575,6 +585,8 @@ class MemAligner:
                 hi = self.seed_batch_arrays(seqs[mid:])
                 bounds = np.concatenate(
                     [lo["bounds"][:-1], lo["bounds"][-1] + hi["bounds"]])
+                # no reads_dev: the split halves each uploaded their own
+                # half-batch buffer — extension re-uploads fresh
                 return dict(
                     qbeg=np.concatenate([lo["qbeg"], hi["qbeg"]]),
                     qend=np.concatenate([lo["qend"], hi["qend"]]),
@@ -591,7 +603,8 @@ class MemAligner:
         bounds = np.searchsorted(rid, np.arange(len(seqs) + 1))
         return dict(qbeg=out["qbeg"][v], qend=out["qend"][v],
                     rbeg=out["rbeg"][v], n_occ=out["n_occ"][v],
-                    bounds=bounds.astype(np.int64))
+                    bounds=bounds.astype(np.int64),
+                    reads_dev=reads_stage)
 
     def seed_batch(self, seqs: list[np.ndarray]) -> list[list[tuple]]:
         """Tuple-list view of seed_batch_arrays (compat for the
@@ -649,9 +662,10 @@ class MemAligner:
         partL = np.zeros((nR, 3), np.int64)
         partR = np.zeros((nR, 3), np.int64)
         # the seeding stage's device reads buffer serves the extension
-        # descriptor gather when it still matches this batch (a spill
-        # split leaves a half-batch stash behind — then fall back)
-        stash = getattr(self, "_reads_stage", None)
+        # descriptor gather; it rides in this batch's seed-arrays dict
+        # (NOT instance state — two collect() threads run concurrently),
+        # absent only after a spill split — then re-upload fresh
+        stash = seeds.get("reads_dev")
         reads_dev = None
         if (self.mesh is None and stash is not None and stash[0] == B
                 and stash[1] >= L):

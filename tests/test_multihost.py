@@ -97,37 +97,48 @@ def _free_port():
         return sk.getsockname()[1]
 
 
-def test_multihost_se_parity(fixture_dir):
+@pytest.mark.parametrize("world", [2, 4])
+def test_multihost_se_parity(fixture_dir, world):
+    """SE byte-parity at world=2 (with a jax.distributed coordinator,
+    covering the control-plane join) and world=4 (filesystem-only
+    launch, exercising the remainder math + 4-way shard merge)."""
     d = fixture_dir
     base = [str(d / "idx"), str(d / "se.fq")]
+    out = d / f"mh_se_{world}.sam"
     p = _align(base, d / "ref_se.sam")
     assert p.wait(900) == 0, p.stderr.read()[-800:]
-    coord = f"127.0.0.1:{_free_port()}"
+    extra = (["--coordinator", f"127.0.0.1:{_free_port()}"]
+             if world == 2 else [])
     procs = [
-        _align(base + ["--n-hosts", "2", "--host-id", str(r),
-                       "--coordinator", coord], d / "mh_se.sam")
-        for r in range(2)
+        _align(base + ["--n-hosts", str(world), "--host-id", str(r)]
+               + extra, out)
+        for r in range(world)
     ]
     for p in procs:
         assert p.wait(900) == 0, p.stderr.read()[-800:]
-    assert _records(d / "mh_se.sam") == _records(d / "ref_se.sam")
-    assert not (d / "mh_se.sam.shard0").exists()  # shards cleaned
+    assert _records(out) == _records(d / "ref_se.sam")
+    for r in range(world):
+        assert not (d / f"{out.name}.shard{r}").exists()  # shards cleaned
 
 
-def test_multihost_pe_parity_fixed_insert(fixture_dir):
+@pytest.mark.parametrize("world", [2, 4])
+def test_multihost_pe_parity_fixed_insert(fixture_dir, world):
     """PE with -I (fixed insert model): per-host pestat re-estimation is
     vanilla per-chunk semantics but would differ from the single-host
-    chunking, so parity is pinned under the fixed model."""
+    chunking, so parity is pinned under the fixed model. world=4 checks
+    the pair-aligned (granularity=2) range math beyond 2 ways — 24
+    pairs over 4 hosts leaves uneven shards."""
     d = fixture_dir
     base = [str(d / "idx"), str(d / "r1.fq"), str(d / "r2.fq"),
             "-I", "300,30"]
+    out = d / f"mh_pe_{world}.sam"
     p = _align(base, d / "ref_pe.sam")
     assert p.wait(900) == 0, p.stderr.read()[-800:]
     procs = [
-        _align(base + ["--n-hosts", "2", "--host-id", str(r)],
-               d / "mh_pe.sam")
-        for r in range(2)
+        _align(base + ["--n-hosts", str(world), "--host-id", str(r)],
+               out)
+        for r in range(world)
     ]
     for p in procs:
         assert p.wait(900) == 0, p.stderr.read()[-800:]
-    assert _records(d / "mh_pe.sam") == _records(d / "ref_pe.sam")
+    assert _records(out) == _records(d / "ref_pe.sam")

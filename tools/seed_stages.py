@@ -27,10 +27,12 @@ def main() -> None:
     rng = np.random.default_rng(12345)
     G = 4_600_000
     L = 150
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    g = rng.integers(0, 4, G, dtype=np.uint8)
-    ann = Annotation(names=["ref"], lengths=[G], offsets=[0])
-    idx = build_index_from_codes(g, ann, sa_intv=4)
+    B = next((int(a) for a in sys.argv[1:] if a.isdigit()), 8192)
+    # same genome family as bench.py --e2e (repeat-rich simgenome;
+    # --random for the old uniform A/B)
+    import bench as benchmod
+    g, _contigs, idx = benchmod._bench_world(
+        G, random_genome="--random" in sys.argv)
     fm = DeviceFMIndex.from_host(idx)
 
     reads = np.full((B, L), 4, np.int8)
@@ -100,6 +102,8 @@ def main() -> None:
                 lane_cap)
             kb, sb, eb, filled = S._reseed_forward(
                 fm, reads, lens, lrid, lx, lfloor, lvalid, cfg.min_seed_len)
+            if upto == "r2_walk":
+                return kb.sum() + sb.sum() + eb.sum()
             E = kb.shape[1]
             flat = lambda a: jnp.broadcast_to(
                 a[:, None], (lane_cap, E)).reshape(-1)
@@ -110,6 +114,8 @@ def main() -> None:
                     (flat(lrid), lane_ids, flat(lx), flat(lfloor),
                      kb.reshape(-1), sb.reshape(-1), eb.reshape(-1)),
                     filled.reshape(-1), cand2_cap)
+            if upto == "r2_compact":
+                return x2.sum() + k2.sum() + s2.sum()
             qb2, k2e, s2e, rdir2 = bw(
                 fm, reads, rid2, x2, k2, s2, v2, floor=floor2, group=lane2,
                 text_walk=False)
@@ -158,8 +164,8 @@ def main() -> None:
 
         return run
 
-    stages = ["scan", "compact", "backward", "round2", "round3", "sort",
-              "full"]
+    stages = ["scan", "compact", "backward", "r2_walk", "r2_compact",
+              "round2", "round3", "sort", "full"]
     prev = 0.0
     for st in stages:
         fn = stage_fn(st)
