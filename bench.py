@@ -125,17 +125,21 @@ def _ensure_live_backend(probe_timeout: float = 240.0,
 def _bench_world(genome_len: int, seed: int = 12345, random_genome=None):
     """(codes, contig_strs, index) for the bench genome. Default:
     repeat-rich simulated genome (one contig — contig count doesn't
-    change the work); --random-genome: the old uniform A/B."""
+    change the work); --random-genome: the old uniform A/B.
+    BENCH_SA_INTV overrides the SA sampling interval (default 4) so the
+    seeding-cost-vs-intv table (BENCH_BREAKDOWN.md) measures the same
+    world the headline runs on."""
     from bwamem_tpu.index.build import build_index_from_codes
     from bwamem_tpu.index.format import Annotation
 
+    sa_intv = int(os.environ.get("BENCH_SA_INTV", 4))
     if random_genome is None:
         random_genome = "--random-genome" in sys.argv
     rng = np.random.default_rng(seed)
     if random_genome:
         g = rng.integers(0, 4, genome_len, dtype=np.uint8)
         ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
-        idx = build_index_from_codes(g, ann, sa_intv=4)
+        idx = build_index_from_codes(g, ann, sa_intv=sa_intv)
         return g, None, idx
     from bwamem_tpu.io.fastx import _CODE_LUT
     from bwamem_tpu.utils.simgenome import make_repeat_genome
@@ -148,7 +152,7 @@ def _bench_world(genome_len: int, seed: int = 12345, random_genome=None):
     # sidecar records the N runs; reads over them simply mismatch)
     g[amb] = rng.integers(0, 4, int(amb.sum()), dtype=np.uint8)
     ann = Annotation(names=[contigs[0][0]], lengths=[len(g)], offsets=[0])
-    idx = build_index_from_codes(g, ann, sa_intv=4)
+    idx = build_index_from_codes(g, ann, sa_intv=sa_intv)
     return g, contigs, idx
 
 

@@ -339,7 +339,8 @@ def _compact_global(fields, emit, pool_size):
 
 
 def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
-                   floor=None, group=None, text_walk=True):
+                   floor=None, group=None, text_walk=True,
+                   fixed_trips: int = 16, compact_at: int | None = 6):
     """Extend each pooled candidate maximally to the left. Flat (P,).
 
     floor: optional (P,) minimum interval size to keep extending
@@ -365,6 +366,15 @@ def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
     the occ2 pair-step variant halves the serial trip chain but costs
     ~2.8x the VPU rank work per base, and the chip is throughput-bound,
     not latency-bound (BENCH_BREAKDOWN.md).
+
+    fixed_trips: length of the no-cond window phase (callers with high
+    floors — round-2 re-seed — pass fewer; their walks die early).
+    compact_at: after this many trips, ALIVE lanes compact into a
+    half-width pool and the remaining trips run at half the gather/rank
+    cost (dead lanes otherwise pay full VPU work to walk nowhere —
+    measured alive decay 50% @4 trips, 17% @8). If more than half the
+    lanes are still alive (repeat-heavy batches), a lax.cond falls back
+    to the full-width continuation — never drops a lane. None disables.
     """
     B, L = reads.shape
     reads_flat = reads.reshape(-1)
@@ -384,53 +394,59 @@ def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
     # 16-base packed words (descending = static flip of the ascending
     # window ending at qbeg-1) — 1/16th the gather indices of the
     # per-element build (which was ~12.6M indices at 786k lanes).
-    FIXED_TRIPS = 16   # p100 walk = 17 on 1%-error reads; the while
-    #                    tail below handles rarer longer walks exactly
+    FT = max(int(fixed_trips), 1)  # default 16: p100 walk = 17 on
+    #                    1%-error reads; the while tail handles longer
     from .refgather import _extract_words_ascending, pack_codes_2bit
 
-    w_off = jnp.arange(FIXED_TRIPS, dtype=jnp.int32)
+    w_off = jnp.arange(FT, dtype=jnp.int32)
     r_words, r_nplane = pack_codes_2bit(reads)
     Wr16 = r_words.shape[1] * 16
-    wf0 = rid * Wr16 + qbeg - FIXED_TRIPS
-    w_asc = _extract_words_ascending(r_words.reshape(-1), wf0,
-                                     FIXED_TRIPS)
-    w_n = _extract_words_ascending(r_nplane.reshape(-1), wf0,
-                                   FIXED_TRIPS)
+    wf0 = rid * Wr16 + qbeg - FT
+    w_asc = _extract_words_ascending(r_words.reshape(-1), wf0, FT)
+    w_n = _extract_words_ascending(r_nplane.reshape(-1), wf0, FT)
     window = jnp.where(w_n[:, ::-1] > 0, 4, w_asc[:, ::-1])
     window = jnp.where(qbeg[:, None] - 1 - w_off[None, :] >= 0,
                        window, 4)
+    P = qbeg.shape[0]
 
     def cond(state):
         _, _, _, done, it = state
         return jnp.logical_and(jnp.logical_not(jnp.all(done)), it < L)
 
-    def make_body(use_window: bool):
+    def make_body(win, rid_, floor_, group_, textable_):
+        """Loop body over a (possibly compacted) lane set. win=None uses
+        the exact per-lane gather path (while tail)."""
         def body(state):
             qb, kk, ss, done, it = state
             j = qb - 1
             can = jnp.logical_and(jnp.logical_not(done), j >= 0)
-            if use_window:
+            if win is not None:
                 base = jax.lax.dynamic_index_in_dim(
-                    window, it, axis=1, keepdims=False)
+                    win, it, axis=1, keepdims=False)
             else:
-                base = reads_flat[jnp.clip(rid * L + j, 0, B * L - 1)]
+                base = reads_flat[jnp.clip(rid_ * L + j, 0, B * L - 1)]
             can = jnp.logical_and(can, base < 4)
             kq = jnp.where(can, kk, 0)
             sq = jnp.where(can, ss, 1)
             nk, ns = ext(kq, sq, jnp.where(can, jnp.clip(base, 0, 3), 0))
-            ok = jnp.logical_and(can, ns >= floor)
+            ok = jnp.logical_and(can, ns >= floor_)
             qb = jnp.where(ok, j, qb)
             kk = jnp.where(ok, nk, kk)
             ss = jnp.where(ok, ns, ss)
             done = jnp.logical_not(ok)
             # unique suffix: retire to the text path (_text_extend_left)
             done = jnp.logical_or(done,
-                                  jnp.logical_and(textable, ss == 1))
+                                  jnp.logical_and(textable_, ss == 1))
             # early kill: same group + same current qb + same interval as
-            # the next (longer-ending) live candidate => contained
+            # a later-ending live candidate => contained. (Sound for ANY
+            # same-group pair, not just original neighbours: identical
+            # walk state walks identically forever, so the earlier-ending
+            # lane can never strictly undercut — the containment filter
+            # drops it regardless. Lane compaction therefore only makes
+            # this test MORE effective.)
             nxt = lambda a: jnp.concatenate([a[1:], a[-1:]])
             same = (jnp.concatenate(
-                [group[1:], jnp.full((1,), -1, group.dtype)]) == group)
+                [group_[1:], jnp.full((1,), -1, group_.dtype)]) == group_)
             same &= nxt(qb) == qb
             same &= nxt(ss) == ss
             same &= nxt(kk) == kk
@@ -442,13 +458,64 @@ def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
     done0 = jnp.logical_or(jnp.logical_not(valid),
                            jnp.logical_and(textable, s == 1))
     state = (qbeg, k, s, done0, jnp.int32(0))
-    # hybrid loop: phase 1 runs a fixed number of trips with no cond
-    # (covers virtually all walks: measured p100 = 17 on 1%-error reads)
-    # using the prefetched window; phase 2 keeps the exact while_loop
-    # semantics for rare longer walks.
+    body_full = make_body(window, rid, floor, group, textable)
+    body_tail = make_body(None, rid, floor, group, textable)
+    use_compact = (compact_at is not None and P >= 4096
+                   and compact_at < min(FT, L))
+    # hybrid loop: phase 1 runs a fixed number of no-cond trips on the
+    # prefetched window; after compact_at trips the surviving lanes
+    # compact to half width (cond-guarded, never drops a lane); phase 2
+    # keeps the exact while_loop semantics for rare longer walks.
     state = jax.lax.fori_loop(
-        0, min(FIXED_TRIPS, L), lambda _, st: make_body(True)(st), state)
-    qb, kk, ss, _, _ = jax.lax.while_loop(cond, make_body(False), state)
+        0, min(compact_at if use_compact else FT, L),
+        lambda _, st: body_full(st), state)
+    if not use_compact:
+        qb, kk, ss, _, _ = jax.lax.while_loop(cond, body_tail, state)
+    else:
+        cap = P // 2
+        tx32 = textable.astype(jnp.int32)
+
+        def run_full(st):
+            st = jax.lax.fori_loop(compact_at, min(FT, L),
+                                   lambda _, s_: body_full(s_), st)
+            qb, kk, ss, _, _ = jax.lax.while_loop(cond, body_tail, st)
+            return qb, kk, ss
+
+        def run_compact(st):
+            qb0, kk0, ss0, dn0, it0 = st
+            orig = jnp.arange(P, dtype=jnp.int32)
+            (qbc, kkc, ssc, ridc, grpc, flc, txc, org), vc, _ = \
+                _compact_flat(
+                    (qb0, kk0, ss0, rid, group, floor, tx32, orig),
+                    jnp.logical_not(dn0), cap)
+            txb = txc.astype(bool)
+            winc = window[org]
+            bodyc = make_body(winc, ridc, flc, grpc, txb)
+            bodyc_tail = make_body(None, ridc, flc, grpc, txb)
+            stc = (qbc, kkc, ssc, jnp.logical_not(vc), it0)
+            stc = jax.lax.fori_loop(compact_at, min(FT, L),
+                                    lambda _, s_: bodyc(s_), stc)
+
+            def cond_c(state):
+                _, _, _, done, it = state
+                return jnp.logical_and(jnp.logical_not(jnp.all(done)),
+                                       it < L)
+
+            qbc, kkc, ssc, _, _ = jax.lax.while_loop(cond_c, bodyc_tail,
+                                                     stc)
+            # scatter survivors back over the phase-1 state (dead lanes
+            # keep their frozen phase-1 values); invalid slots spill
+            dstq = jnp.where(vc, org, P)
+
+            def scat(base_arr, vals):
+                return jnp.concatenate(
+                    [base_arr, base_arr[:1]]).at[dstq].set(vals)[:P]
+
+            return scat(qb0, qbc), scat(kk0, kkc), scat(ss0, ssc)
+
+        n_alive = jnp.sum(jnp.logical_not(state[3]).astype(jnp.int32))
+        qb, kk, ss = jax.lax.cond(n_alive > cap, run_full, run_compact,
+                                  state)
     if not text_walk:
         return qb, kk, ss, jnp.full_like(kk, -1)
     to_text = jnp.logical_and(textable, ss == 1)
@@ -1042,11 +1109,14 @@ def smem_seed_batch_stacked(fm: DeviceFMIndex, reads, lens,
 
     Two formats, chosen statically (the aligner's fetch dispatches on
     row count):
-      * packed (5, P) int32 — narrow indexes with B, L < 2^16:
-        [read_id, qbeg<<16|qend, rbeg, n_occ, head]. Valid slots are a
-        PREFIX (slot < n_seeds; _expand_occurrences emits prefixes), so
-        no valid row rides the tunnel. ~40% fewer D2H bytes than the
-        wide format — the tunnel moves ~40 MiB/s (BENCH_BREAKDOWN.md).
+      * packed (4, P+4) int32 — narrow indexes with B, L < 2^16:
+        [read_id, qbeg<<16|qend, rbeg, n_occ] data rows with the 13 head
+        scalars column-major in the first 4 lanes of each row. Valid
+        slots are a PREFIX (slot < n_seeds; _expand_occurrences emits
+        prefixes), so no valid row rides the tunnel, and ONE prefix
+        slice carries scalars + seeds (the aligner's speculative
+        one-shot fetch). ~40% fewer D2H bytes than the wide format —
+        the tunnel moves ~40 MiB/s (BENCH_BREAKDOWN.md).
       * wide (7, P) int64 — genomes needing >31-bit rbeg or huge L/B:
         the original unpacked rows + valid row.
     """
@@ -1066,16 +1136,30 @@ def smem_seed_batch_stacked(fm: DeviceFMIndex, reads, lens,
             row, out["needs"].astype(row.dtype), (3 + nf,))
 
     if dt == jnp.int32 and B <= 0xFFFF and L <= 0x7FFF:
+        # packed v2 (4, P + 4): the 13 head scalars ride COLUMN-MAJOR in
+        # the first 4 lanes of the 4 data rows (scalar j at row j%4,
+        # lane j//4), so a single prefix slice raw[:, :4+nf] carries the
+        # scalars AND the first nf seeds with zero wasted rows — the
+        # aligner's speculative one-shot prefix fetch depends on this
+        # (a separate head row cost either a second tunnel round-trip or
+        # a 25% wider transfer).
+        head13 = jnp.stack(
+            [out["n_seeds"].astype(jnp.int32),
+             out["overflow"].astype(jnp.int32),
+             out["over_mult"].astype(jnp.int32)]
+            + [out["mults"][i].astype(jnp.int32) for i in range(5)]
+            + [out["needs"][i].astype(jnp.int32) for i in range(5)])
+        hdr = jnp.concatenate(
+            [head13, jnp.zeros((3,), jnp.int32)]).reshape(4, 4).T
         qpack = (jnp.maximum(out["qbeg"], 0) << 16) | \
             (out["qend"] & 0xFFFF)
-        pool = jnp.stack([
+        data = jnp.stack([
             out["read_id"].astype(jnp.int32),
             qpack.astype(jnp.int32),
             out["rbeg"].astype(jnp.int32),
             out["n_occ"].astype(jnp.int32),
-            head_into(jnp.zeros((P,), jnp.int32)),
         ])
-        return pool
+        return jnp.concatenate([hdr, data], axis=1)
     pool = jnp.stack(
         [out[k].astype(dt)
          for k in ("read_id", "qbeg", "qend", "rbeg", "n_occ")]
@@ -1173,10 +1257,14 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         bw2 = (_backward_pass2 if fm.has_occ2 and cfg.pair_backward
                else _backward_pass)
         # floors here are >= 2, so no lane can ever qualify for the
-        # text path — skip its SA-anchor chain statically
+        # text path — skip its SA-anchor chain statically. Walks with
+        # floor >= 2 also die much earlier than round-1's, so the
+        # no-cond window phase is shorter and lanes compact sooner.
+        kw2 = ({} if bw2 is _backward_pass2
+               else dict(fixed_trips=10, compact_at=4))
         qb2, k2e, s2e, rdir2 = bw2(fm, reads, rid2, x2, k2, s2, v2,
                                    floor=floor2, group=lane2,
-                                   text_walk=False)
+                                   text_walk=False, **kw2)
         keep2 = _containment_filter(qb2, end2, lane2, v2, cfg.min_seed_len)
         parts.append((rid2, qb2, end2, k2e, s2e, keep2, rdir2))
         m_r2lane = _cd(l_need, lane_cap)

@@ -414,15 +414,27 @@ class MemAligner:
 
         def fetch(raw):
             """Coalesced D2H: ONE stacked pool transfer (head scalars ride
-            in the last pool row; lanes 3..8 carry the per-stage pool
-            multipliers). The smem path pre-stacks on device
-            (smem_seed_batch_stacked — packed (5, P) int32 on narrow
-            indexes, wide (7, P) otherwise); other paths stack here."""
-            if not isinstance(raw, dict) and raw.shape[0] == 5:
-                P = raw.shape[1]
+            in the first lanes; see formats below). The smem path
+            pre-stacks on device (smem_seed_batch_stacked — packed
+            (4, P+4) int32 on narrow indexes, wide (7, P) otherwise);
+            other paths stack here."""
+            if not isinstance(raw, dict) and raw.shape[0] == 4:
+                # packed v2 (4, P+4): head scalars column-major in the
+                # first 4 lanes of each row (see smem_seed_batch_stacked)
+                P = raw.shape[1] - 4
                 import os as _os
                 pf_min = int(_os.environ.get(
                     "BWAMEM_TPU_PREFIX_FETCH_MIN", 65536))
+
+                def _qprefix(n):
+                    """Round up to the quarter-power-of-two grid (bounds
+                    the slice-executable variety to ~4 per octave while
+                    wasting <25% of the transfer)."""
+                    if n <= 8192:
+                        return 8192
+                    base = 1 << max((n - 1).bit_length() - 2, 0)
+                    return -(-n // base) * base
+
                 # when the pool ran ~full last chunk the prefix fetch
                 # degenerates to full-pool + one extra round-trip; skip
                 # it. Keyed by pool width: concurrent collect() threads
@@ -432,24 +444,33 @@ class MemAligner:
                 # valid predictor (GIL makes the dict update atomic).
                 near_full = self._last_nf.get(P, 0) > 0.75 * P
                 if P > pf_min and not near_full:
-                    # two-step prefix fetch: scalars first (tiny D2H),
-                    # then ONLY the valid prefix of the data rows. The
-                    # learned pools are sized for the worst workload this
-                    # class has ever seen, so a blind full-pool D2H ships
-                    # mostly garbage over a ~40 MiB/s tunnel (measured
-                    # 10.5 MB/chunk at seed_pool=32 vs ~2 live seeds/read
-                    # on the bench genome). Prefix length quantizes to a
-                    # power of two to bound the slice-executable variety.
-                    head = np.asarray(
-                        raw[4, :3 + 2 * len(POOL_FIELDS)])
+                    # speculative ONE-SHOT prefix fetch: the previous
+                    # chunk's live-seed count predicts this one's (same
+                    # shape class, same genome). One D2H slice carries
+                    # the head scalars AND a 1.25x-padded seed prefix;
+                    # only a short prediction (first chunk, workload
+                    # shift) pays a second, delta-only fetch. The old
+                    # two-step fetch (scalars, then the exact prefix)
+                    # paid a full tunnel round-trip (~30 ms) every chunk
+                    # to size the second transfer.
+                    last_n = self._last_nf.get(P, 0)
+                    nf = min(_qprefix(int(last_n * 1.25)), P)
+                    spec = np.asarray(raw[:, :4 + nf] if nf < P else raw)
+                    head = spec[:, :4].T.reshape(-1)[
+                        :3 + 2 * len(POOL_FIELDS)]
                     n = int(head[0])
-                    nf = 1 << max(n - 1, 1).bit_length()
-                    nf = min(max(nf, 8192), P)
-                    pool = np.asarray(raw[:4, :nf] if nf < P else raw[:4])
                     self._last_nf[P] = n
+                    if n <= nf or nf >= P:
+                        pool = spec[:, 4:]
+                    else:  # prediction short: fetch only the delta
+                        n2 = min(_qprefix(n), P)
+                        rest = np.asarray(raw[:, 4 + nf:4 + n2])
+                        pool = np.concatenate([spec[:, 4:], rest], axis=1)
                 else:
-                    pool = np.asarray(raw)  # packed, single D2H
-                    head = pool[4]
+                    full = np.asarray(raw)  # packed, single D2H
+                    head = full[:, :4].T.reshape(-1)[
+                        :3 + 2 * len(POOL_FIELDS)]
+                    pool = full[:, 4:]
                     n = int(head[0])
                     self._last_nf[P] = n
                 F = len(POOL_FIELDS)
@@ -794,34 +815,67 @@ class MemAligner:
             return
         lib = loader.try_load()
         qlen = J["qlen"][:nJ]
-        tlen = J["tlen"][:nJ]
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         use_desc = reads_dev is not None and self.mesh is None
 
+        # tlen clamp to the provable DP reach: on repeat-dense chains the
+        # rmax window spans the WHOLE chain (kilobases), but an extension
+        # from one seed can never score past qlen + band (opt_ext) or
+        # qlen + (h0 + a*qlen - o_del)/e_del (unbanded — every H value at
+        # deeper rows is provably <= 0, and the kernel's rowmax==0 early
+        # kill fires there anyway). Clamping is therefore OUTPUT-EXACT
+        # for the chosen (score, qle, tle): rows past the reach cannot
+        # update best/qle/tle, and a gscore flatlined at 0 is discarded
+        # by end_choice's take_local. It kills both the runtime tail
+        # (one huge-tlen job no longer spins its whole Pallas tile) and
+        # the TMAX executable churn (a new 30-40 s XLA+Mosaic compile per
+        # data-dependent TMAX bucket — the round-4 profile's single
+        # largest span, 10 s/chunk on the repeat genome).
+        p = self.ext_params
+        q64 = qlen.astype(np.int64)
+        h064 = J["h0"][:nJ].astype(np.int64)
+        if p.opt_ext:
+            reach = q64 + int(p.w) + 1
+        else:
+            e_min = max(min(p.e_del, p.e_ins), 1)
+            o_min = min(p.o_del, p.o_ins)
+            reach = q64 + np.maximum(
+                h064 + int(p.max_mat) * q64 - o_min, 0) // e_min + 2
+        tlen = np.minimum(J["tlen"][:nJ].astype(np.int64),
+                          reach).astype(np.int32)
+        # full-width clamped copy for scatter_jobs (bm_scatter_jobs
+        # memcpy's lens[j] bytes and must never exceed TMAX)
+        tlen_full = J["tlen"].copy()
+        tlen_full[:nJ] = tlen
+
         # bucket merge: every extra launch costs a dispatch + D2H
-        # round-trip (~56 ms on tunneled backends ~= 84 MB of H2D), so
-        # collapse the qlen buckets into ONE launch unless the extra
-        # pad-to-global-width H2D traffic outweighs the saved trips.
-        # Narrow-query jobs still run at half lane width inside the
-        # merged call — extend_batch_pallas re-buckets internally within
-        # the same jit (ops/pallas/extend_kernel.py QSMALL split).
+        # round-trip (~56 ms on tunneled backends ~= 84 MB of H2D). On
+        # the descriptor path padding ships NO extra bytes (the device
+        # gathers only masked windows), so one merged launch is always
+        # right — and keeps the executable family at one member per
+        # (read-length, N-bucket) pair. The materialized-tile paths keep
+        # the pad-bytes-vs-trips cost model.
         bounds: tuple = (64, 192, 1 << 30)
-        sels_cost = []
-        assigned = np.zeros(nJ, bool)
-        for bound in bounds:
-            m = (~assigned) & (qlen <= bound)
-            assigned |= m
-            if m.any():
-                sels_cost.append(
-                    bucket_count(int(m.sum()))
-                    * (bucket_len(int(qlen[m].max()))
-                       + bucket_len(int(tlen[m].max()))))
-        if len(sels_cost) > 1:
-            merged_cost = bucket_count(nJ) * (
-                bucket_len(int(qlen.max())) + bucket_len(int(tlen.max())))
-            trip_bytes = (len(sels_cost) - 1) * (64 << 20)
-            if merged_cost - sum(sels_cost) < trip_bytes:
-                bounds = (1 << 30,)
+        if use_desc:
+            bounds = (1 << 30,)
+        else:
+            sels_cost = []
+            assigned = np.zeros(nJ, bool)
+            for bound in bounds:
+                m = (~assigned) & (qlen <= bound)
+                assigned |= m
+                if m.any():
+                    sels_cost.append(
+                        bucket_count(int(m.sum()))
+                        * (bucket_len(int(qlen[m].max()))
+                           + bucket_len(int(tlen[m].max()))))
+            if len(sels_cost) > 1:
+                merged_cost = bucket_count(nJ) * (
+                    bucket_len(int(qlen.max()))
+                    + bucket_len(int(tlen.max())))
+                trip_bytes = (len(sels_cost) - 1) * (64 << 20)
+                if merged_cost - sum(sels_cost) < trip_bytes:
+                    bounds = (1 << 30,)
 
         assigned = np.zeros(nJ, bool)
         # two passes: scatter + launch EVERY bucket first (async device
@@ -835,8 +889,25 @@ class MemAligner:
             sel = np.nonzero(m)[0].astype(np.int64)
             if not len(sel):
                 continue
-            QMAX = bucket_len(int(qlen[sel].max()))
-            TMAX = bucket_len(int(tlen[sel].max()))
+            if use_desc:
+                # family-stable shapes: derive QMAX/TMAX from the READ
+                # LENGTH bucket + score params, not per-chunk data maxima
+                # — one executable per (read-length, N-bucket) family
+                # instead of a fresh 30-40 s compile whenever a chunk's
+                # longest job shifts a bucket. Padding is free here: the
+                # device gathers only masked windows (no pad H2D), and
+                # the Pallas tiles run dynamic trip counts bounded by
+                # each tile's true max tlen.
+                Lb = reads_dev.shape[1]
+                QMAX = bucket_len(Lb)
+                if p.opt_ext:
+                    TMAX = bucket_len(QMAX + int(p.w) + 1)
+                else:
+                    TMAX = bucket_len(
+                        QMAX + (int(p.max_mat) * Lb - o_min) // e_min + 2)
+            else:
+                QMAX = bucket_len(int(qlen[sel].max()))
+                TMAX = bucket_len(int(tlen[sel].max()))
             N = -(-bucket_count(len(sel)) // n_dev) * n_dev
             ql = np.zeros(N, np.int32)
             tl = np.zeros(N, np.int32)
@@ -855,19 +926,21 @@ class MemAligner:
                 jqs[: len(sel)] = J["qstart"][:nJ][sel]
                 jts[: len(sel)] = J["tstart"][:nJ][sel]
                 jdir[: len(sel)] = J["dir"][:nJ][sel]
-                stacked = extend_choose_desc_jit(
-                    self.fm, reads_dev, jnp.asarray(jr), jnp.asarray(jqs),
-                    jnp.asarray(ql), jnp.asarray(jts), jnp.asarray(tl),
-                    jnp.asarray(jdir), jnp.asarray(h0),
-                    jnp.asarray(opt.mat), self.ext_params,
-                    int(opt.pen_clip5), QMAX, TMAX)
+                with self._span("ext_dispatch"):
+                    stacked = extend_choose_desc_jit(
+                        self.fm, reads_dev, jnp.asarray(jr),
+                        jnp.asarray(jqs), jnp.asarray(ql),
+                        jnp.asarray(jts), jnp.asarray(tl),
+                        jnp.asarray(jdir), jnp.asarray(h0),
+                        jnp.asarray(opt.mat), self.ext_params,
+                        int(opt.pen_clip5), QMAX, TMAX)
                 launched.append((stacked, sel))
                 continue
             with self._span("ext_scatter"):
                 Q = loader.scatter_jobs(lib, out["qstream"], J["qoff"],
                                         J["qlen"], sel, QMAX)
                 T = loader.scatter_jobs(lib, out["tstream"], J["toff"],
-                                        J["tlen"], sel, TMAX)
+                                        tlen_full, sel, TMAX)
             if N != len(sel):
                 Q = np.vstack(
                     [Q, np.full((N - len(sel), QMAX), 4, np.int8)])
@@ -912,8 +985,10 @@ class MemAligner:
         from .seedflt import SeedFilterBatch
 
         opt, idx = self.opt, self.idx
-        seed_arr = self.seed_batch_arrays(seqs)
-        fast = self._collect_native(seqs, seed_arr)
+        with self._span("seed_total"):
+            seed_arr = self.seed_batch_arrays(seqs)
+        with self._span("native_total"):
+            fast = self._collect_native(seqs, seed_arr)
         if fast is not None:
             return fast
         cols = np.stack([seed_arr["qbeg"], seed_arr["qend"],

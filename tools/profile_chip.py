@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--reads", type=int, default=8192)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--genome", type=int, default=4_600_000)
+    ap.add_argument("--random-genome", action="store_true",
+                    help="old uniform-random genome (default: the "
+                    "repeat-rich simgenome the headline bench runs on)")
     ap.add_argument("--no-reseed", action="store_true")
     ap.add_argument("--serial", action="store_true",
                     help="lookahead=0: no overlap, clean span attribution")
@@ -46,10 +49,18 @@ def main() -> None:
     genome_len = args.genome
     read_len = 150
     batch = args.reads
-    g = rng.integers(0, 4, genome_len, dtype=np.uint8)
-    ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
     t_build0 = time.perf_counter()
-    idx = build_index_from_codes(g, ann, sa_intv=4)
+    if args.random_genome:
+        g = rng.integers(0, 4, genome_len, dtype=np.uint8)
+        ann = Annotation(names=["ref"], lengths=[genome_len], offsets=[0])
+        idx = build_index_from_codes(g, ann, sa_intv=4)
+    else:
+        # the headline bench's repeat-rich genome, bit-identical setup
+        sys.argv = [sys.argv[0]]  # _bench_world peeks at sys.argv
+        import bench as _bench
+
+        g, _contigs, idx = _bench._bench_world(
+            genome_len, seed=777 if args.pe else 12345)
     print(f"[profile] index build: {time.perf_counter() - t_build0:.1f}s",
           file=sys.stderr)
     opt = MemOptions()

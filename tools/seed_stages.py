@@ -116,9 +116,10 @@ def main() -> None:
                     filled.reshape(-1), cand2_cap)
             if upto == "r2_compact":
                 return x2.sum() + k2.sum() + s2.sum()
+            kw2 = {} if pair else dict(fixed_trips=10, compact_at=4)
             qb2, k2e, s2e, rdir2 = bw(
                 fm, reads, rid2, x2, k2, s2, v2, floor=floor2, group=lane2,
-                text_walk=False)
+                text_walk=False, **kw2)
             keep2 = S._containment_filter(qb2, end2, lane2, v2,
                                           cfg.min_seed_len)
             parts.append((rid2, qb2, end2, k2e, s2e, keep2, rdir2))
