@@ -325,10 +325,14 @@ def _compact_global(fields, emit, pool_size):
     flat_emit = emit.reshape(-1)
     dst = jnp.cumsum(flat_emit.astype(jnp.int32), dtype=jnp.int32) - 1
     ok = jnp.logical_and(flat_emit, dst < pool_size)
-    dst_safe = jnp.where(ok, dst, pool_size)  # spill slot
-
-    src = jnp.zeros((pool_size + 1,), jnp.int32).at[dst_safe].set(
-        jnp.arange(B * N, dtype=jnp.int32))[:pool_size]
+    # non-emitted lanes get UNIQUE out-of-bounds indices (dropped by the
+    # scatter): with every index unique, XLA lowers a fully parallel
+    # scatter — the old shared spill slot forced the serialized
+    # duplicate-safe form (measured ~7x the whole compaction's cost)
+    ar = jnp.arange(B * N, dtype=jnp.int32)
+    dst_u = jnp.where(ok, dst, pool_size + ar)
+    src = jnp.zeros((pool_size,), jnp.int32).at[dst_u].set(
+        ar, mode="drop", unique_indices=True)
     n = jnp.minimum(dst[-1] + 1, pool_size)
     valid = jnp.arange(pool_size, dtype=jnp.int32) < n
     # invalid tail slots hold field value 0 (matching the old
@@ -340,7 +344,9 @@ def _compact_global(fields, emit, pool_size):
 
 def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
                    floor=None, group=None, text_walk=True,
-                   fixed_trips: int = 16, compact_at: int | None = 6):
+                   fixed_trips: int = 16,
+                   compact_schedule: tuple = ((6, 2), (12, 4),
+                                              (16, 8))):
     """Extend each pooled candidate maximally to the left. Flat (P,).
 
     floor: optional (P,) minimum interval size to keep extending
@@ -369,12 +375,19 @@ def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
 
     fixed_trips: length of the no-cond window phase (callers with high
     floors — round-2 re-seed — pass fewer; their walks die early).
-    compact_at: after this many trips, ALIVE lanes compact into a
-    half-width pool and the remaining trips run at half the gather/rank
-    cost (dead lanes otherwise pay full VPU work to walk nowhere —
-    measured alive decay 50% @4 trips, 17% @8). If more than half the
-    lanes are still alive (repeat-heavy batches), a lax.cond falls back
-    to the full-width continuation — never drops a lane. None disables.
+    compact_schedule: ((trip, divisor), ...) — at each `trip`, ALIVE
+    lanes compact into a pool 1/divisor of the CURRENT width; remaining
+    trips and the while tail then run at the reduced gather/rank cost.
+    Dead lanes otherwise pay full VPU work to walk nowhere, and on
+    repeat genomes the tail is LONG and THIN (measured on the bench
+    simgenome at B=16k: alive 46% @6 trips, 5% @12 — but hundreds of
+    lanes still walking past trip 47 inside repeats, which at full pool
+    width made the tail the single largest seeding stage). If a stage's
+    survivors exceed its cap, a lax.cond keeps the current width and
+    retries at the NEXT schedule point — never drops a lane. ()
+    disables. Default hugs the measured round-1 decay (tools/bwdecay.py
+    on the bench simgenome: alive/pool 0.46 @6, 0.04 @12, 0.002 @16);
+    the final stage runs the whole while tail at 1/64 width.
     """
     B, L = reads.shape
     reads_flat = reads.reshape(-1)
@@ -458,64 +471,69 @@ def _backward_pass(fm: DeviceFMIndex, reads, rid, qbeg, k, s, valid,
     done0 = jnp.logical_or(jnp.logical_not(valid),
                            jnp.logical_and(textable, s == 1))
     state = (qbeg, k, s, done0, jnp.int32(0))
-    body_full = make_body(window, rid, floor, group, textable)
-    body_tail = make_body(None, rid, floor, group, textable)
-    use_compact = (compact_at is not None and P >= 4096
-                   and compact_at < min(FT, L))
-    # hybrid loop: phase 1 runs a fixed number of no-cond trips on the
-    # prefetched window; after compact_at trips the surviving lanes
-    # compact to half width (cond-guarded, never drops a lane); phase 2
-    # keeps the exact while_loop semantics for rare longer walks.
-    state = jax.lax.fori_loop(
-        0, min(compact_at if use_compact else FT, L),
-        lambda _, st: body_full(st), state)
-    if not use_compact:
-        qb, kk, ss, _, _ = jax.lax.while_loop(cond, body_tail, state)
-    else:
-        cap = P // 2
-        tx32 = textable.astype(jnp.int32)
+    FT_L = min(FT, L)
+    sched = tuple((int(t), int(d)) for t, d in (compact_schedule or ())
+                  if 0 < t <= FT_L and d > 1)
+    if P < 4096:
+        sched = ()
+
+    def _walk(st, trip0, win, rid_, grp_, fl_, tx_, sched_):
+        """Run trips [trip0, FT) + the while tail over the current lane
+        set, compacting ALIVE lanes at each remaining schedule point
+        (recursive stages; each stage scatters its survivors back over
+        its parent's frozen state). Returns final (qb, kk, ss) at the
+        current width."""
+        W = st[0].shape[0]
+        body = make_body(win, rid_, fl_, grp_, tx_)
+        body_t = make_body(None, rid_, fl_, grp_, tx_)
+        if not sched_:
+            st = jax.lax.fori_loop(trip0, FT_L,
+                                   lambda _, s_: body(s_), st)
+            qb, kk, ss, _, _ = jax.lax.while_loop(cond, body_t, st)
+            return qb, kk, ss
+        (t_next, div), rest = sched_[0], sched_[1:]
+        st = jax.lax.fori_loop(trip0, t_next,
+                               lambda _, s_: body(s_), st)
+        cap = max(W // div, 256)
+        if cap >= W:  # too narrow to be worth another stage
+            return _walk(st, t_next, win, rid_, grp_, fl_, tx_, rest)
 
         def run_full(st):
-            st = jax.lax.fori_loop(compact_at, min(FT, L),
-                                   lambda _, s_: body_full(s_), st)
-            qb, kk, ss, _, _ = jax.lax.while_loop(cond, body_tail, st)
-            return qb, kk, ss
+            # survivors exceed this stage's cap (repeat-heavy batch):
+            # stay at the current width but keep trying the LATER
+            # schedule points — the decay curve has a fat body and a
+            # thin tail, so a stage that misses by 2x at trip t usually
+            # engages comfortably at the next point
+            return _walk(st, t_next, win, rid_, grp_, fl_, tx_, rest)
 
         def run_compact(st):
             qb0, kk0, ss0, dn0, it0 = st
-            orig = jnp.arange(P, dtype=jnp.int32)
+            org0 = jnp.arange(W, dtype=jnp.int32)
             (qbc, kkc, ssc, ridc, grpc, flc, txc, org), vc, _ = \
                 _compact_flat(
-                    (qb0, kk0, ss0, rid, group, floor, tx32, orig),
+                    (qb0, kk0, ss0, rid_, grp_, fl_,
+                     tx_.astype(jnp.int32), org0),
                     jnp.logical_not(dn0), cap)
-            txb = txc.astype(bool)
-            winc = window[org]
-            bodyc = make_body(winc, ridc, flc, grpc, txb)
-            bodyc_tail = make_body(None, ridc, flc, grpc, txb)
             stc = (qbc, kkc, ssc, jnp.logical_not(vc), it0)
-            stc = jax.lax.fori_loop(compact_at, min(FT, L),
-                                    lambda _, s_: bodyc(s_), stc)
-
-            def cond_c(state):
-                _, _, _, done, it = state
-                return jnp.logical_and(jnp.logical_not(jnp.all(done)),
-                                       it < L)
-
-            qbc, kkc, ssc, _, _ = jax.lax.while_loop(cond_c, bodyc_tail,
-                                                     stc)
-            # scatter survivors back over the phase-1 state (dead lanes
-            # keep their frozen phase-1 values); invalid slots spill
-            dstq = jnp.where(vc, org, P)
+            qbc, kkc, ssc = _walk(stc, t_next, win[org], ridc, grpc,
+                                  flc, txc.astype(bool), rest)
+            # scatter survivors back over this stage's frozen state
+            # (dead lanes keep their frozen values); invalid slots get
+            # unique dropped indices so the scatter stays parallel
+            dstq = jnp.where(vc, org,
+                             W + jnp.arange(cap, dtype=jnp.int32))
 
             def scat(base_arr, vals):
-                return jnp.concatenate(
-                    [base_arr, base_arr[:1]]).at[dstq].set(vals)[:P]
+                return base_arr.at[dstq].set(vals, mode="drop",
+                                             unique_indices=True)
 
             return scat(qb0, qbc), scat(kk0, kkc), scat(ss0, ssc)
 
-        n_alive = jnp.sum(jnp.logical_not(state[3]).astype(jnp.int32))
-        qb, kk, ss = jax.lax.cond(n_alive > cap, run_full, run_compact,
-                                  state)
+        n_alive = jnp.sum(jnp.logical_not(st[3]).astype(jnp.int32))
+        return jax.lax.cond(n_alive > cap, run_full, run_compact, st)
+
+    qb, kk, ss = _walk(state, 0, window, rid, group, floor, textable,
+                       sched)
     if not text_walk:
         return qb, kk, ss, jnp.full_like(kk, -1)
     to_text = jnp.logical_and(textable, ss == 1)
@@ -743,9 +761,11 @@ def _compact_flat(fields, emit, cap):
     P = emit.shape[0]
     dst = jnp.cumsum(emit.astype(jnp.int32), dtype=jnp.int32) - 1
     ok = jnp.logical_and(emit, dst < cap)
-    dst_safe = jnp.where(ok, dst, cap)
-    src = jnp.zeros((cap + 1,), jnp.int32).at[dst_safe].set(
-        jnp.arange(P, dtype=jnp.int32))[:cap]
+    ar = jnp.arange(P, dtype=jnp.int32)
+    # unique OOB indices for dropped lanes -> parallel scatter lowering
+    dst_u = jnp.where(ok, dst, cap + ar)
+    src = jnp.zeros((cap,), jnp.int32).at[dst_u].set(
+        ar, mode="drop", unique_indices=True)
     n = jnp.minimum(dst[-1] + 1, cap)
     valid = jnp.arange(cap, dtype=jnp.int32) < n
     pooled = tuple(jnp.where(valid, f[src], 0) for f in fields)
@@ -943,9 +963,14 @@ def _expand_occurrences(fm, rid, qbeg, qend, k, s, keep, pool_size,
     # slots are unique (cum_excl strictly increases when count > 0), so a
     # plain .set scatter suffices.
     idx = jnp.arange(P, dtype=jnp.int32)
-    dst = jnp.where(count > 0, cum_excl, pool_size)
-    marks = jnp.zeros(pool_size + 1, jnp.int32).at[
-        jnp.clip(dst, 0, pool_size)].set(idx + 1)[:pool_size]
+    # unique indices -> parallel scatter lowering: live in-bounds writes
+    # use the (strictly increasing) cum_excl; everything else (empty
+    # groups, overflow past the pool) gets a unique index in the
+    # disjoint dropped range [pool_size, pool_size + P)
+    in_b = jnp.logical_and(count > 0, cum_excl < pool_size)
+    dst = jnp.where(in_b, cum_excl, pool_size + idx)
+    marks = jnp.zeros(pool_size, jnp.int32).at[dst].set(
+        idx + 1, mode="drop", unique_indices=True)
     cand = jax.lax.associative_scan(jnp.maximum, marks) - 1
     cand = jnp.clip(cand, 0, P - 1)
     seed_valid = t < jnp.minimum(total, pool_size)
@@ -1260,8 +1285,18 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         # text path — skip its SA-anchor chain statically. Walks with
         # floor >= 2 also die much earlier than round-1's, so the
         # no-cond window phase is shorter and lanes compact sooner.
+        # round-2 decay on the bench simgenome (tools/bwdecay.py,
+        # B=16k, 524288 lanes, alive/pool): 0.39 @4, 0.18 @8, 0.025
+        # @12, 0.0075 @16 — then a LONG thin tail (0.001 past trip
+        # 47). The schedule hugs that curve with ~1.5-2.5x margins;
+        # the final stage puts the whole while tail at 1/64 width
+        # (the single-point (10,16) schedule never engaged here: its
+        # cap sat 2.7x BELOW the trip-10 survivor count, so the tail
+        # ran half-width — measured 267 ms of a 495 ms program).
         kw2 = ({} if bw2 is _backward_pass2
-               else dict(fixed_trips=10, compact_at=4))
+               else dict(fixed_trips=16,
+                         compact_schedule=((4, 2), (8, 2), (12, 4),
+                                           (16, 4))))
         qb2, k2e, s2e, rdir2 = bw2(fm, reads, rid2, x2, k2, s2, v2,
                                    floor=floor2, group=lane2,
                                    text_walk=False, **kw2)

@@ -116,7 +116,10 @@ def main() -> None:
                     filled.reshape(-1), cand2_cap)
             if upto == "r2_compact":
                 return x2.sum() + k2.sum() + s2.sum()
-            kw2 = {} if pair else dict(fixed_trips=10, compact_at=4)
+            kw2 = ({} if pair
+                   else dict(fixed_trips=16,
+                             compact_schedule=((4, 2), (8, 2), (12, 4),
+                                               (16, 4))))
             qb2, k2e, s2e, rdir2 = bw(
                 fm, reads, rid2, x2, k2, s2, v2, floor=floor2, group=lane2,
                 text_walk=False, **kw2)
