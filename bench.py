@@ -265,14 +265,20 @@ def main_pe() -> None:
         run_pipeline(iter(batch), al, n_pairs * 2 * read_len,
                      io.StringIO(), paired=True)
 
-    n_iter = 3 if not small else 1
+    n_iter = 6 if not small else 1  # stream ALL chunks through ONE
+    # pipeline, like the SE leg: separate run_pipeline calls per chunk
+    # serialize seed->ext->finalize (no lookahead overlap) and pay the
+    # ramp n_iter times — measured 2.4k vs 8.1k pairs/s on chip.
     batches = [mk(s_) for s_ in range(3, 3 + n_iter)]
+
+    def records():
+        for batch in batches:
+            yield from batch
+
     sink = io.StringIO()
     t0 = time.perf_counter()
-    n_done = 0
-    for batch in batches:
-        n_done += run_pipeline(iter(batch), al, n_pairs * 2 * read_len,
-                               sink, paired=True)
+    n_done = run_pipeline(records(), al, n_pairs * 2 * read_len,
+                          sink, paired=True)
     dt = (time.perf_counter() - t0) / n_iter
     assert n_done == 2 * n_pairs * n_iter
     result = {
