@@ -51,6 +51,16 @@ def build_world(gbp: float, sa_intv: int, cache: str):
     rng = np.random.default_rng(31)
     rep = {"genome_bp": size, "sa_intv": sa_intv}
 
+    codes_cache = f"/tmp/bwamem_gbp_{gbp:g}_codes.npy"
+    if os.path.exists(codes_cache) and os.path.exists(cache):
+        t0 = time.perf_counter()
+        g = np.load(codes_cache, mmap_mode="r")
+        idx = FMIndex.load(cache)
+        rep["index_load_s"] = round(time.perf_counter() - t0, 1)
+        print(f"[gbp] cached codes+index loaded in {rep['index_load_s']}s",
+              flush=True)
+        return g, idx, rep
+
     t0 = time.perf_counter()
     # repeat density ~1 SINE / 2 kb: repeat-rich enough to stress
     # max_occ subsampling without a multi-hour pure-Python placement loop
@@ -81,6 +91,7 @@ def build_world(gbp: float, sa_intv: int, cache: str):
           f"{rep['genome_gen_s']}s rss={rep['rss_after_gen_gb']} GB",
           flush=True)
 
+    np.save(codes_cache, g)
     if os.path.exists(cache):
         t0 = time.perf_counter()
         idx = FMIndex.load(cache)
