@@ -81,7 +81,14 @@ def _ensure_live_backend(probe_timeout: float = 240.0,
 
         jax.config.update("jax_platforms", "cpu")
         return
-    probe = ("import jax, jax.numpy as jnp; "
+    # Pin the SINGLE device platform. The sitecustomize default
+    # "axon,cpu" initializes every listed PJRT client; that multi-client
+    # init has been observed to wedge for minutes with a perfectly live
+    # tunnel (pinned "axon" comes up in ~2 s at the same instant) — a
+    # probe/run that dials both platforms measures the wedge, not the
+    # chip.
+    probe = ("import jax; jax.config.update('jax_platforms', 'axon'); "
+             "import jax.numpy as jnp; "
              "assert float(jnp.arange(8.0).sum()) == 28.0; "
              "print('BENCH_PROBE_OK')")
     t_start = time.monotonic()
@@ -102,6 +109,11 @@ def _ensure_live_backend(probe_timeout: float = 240.0,
         except (subprocess.TimeoutExpired, OSError):
             ok = False
         if ok:
+            # pin the main process to the same single platform the
+            # probe validated (see comment above: "axon,cpu" can wedge)
+            import jax
+
+            jax.config.update("jax_platforms", "axon")
             return
         budget_left = total_budget - (time.monotonic() - t_start)
         if budget_left <= 60:
@@ -171,7 +183,8 @@ def main_e2e() -> None:
     read_len = 150
     # 16k-read chunks amortize the tunnel's fixed per-dispatch costs;
     # vanilla bwa's own chunk is 10 Mbp (~67k reads of 150 bp)
-    batch = 16384 if not small else 512
+    batch = int(os.environ.get("BWAMEM_BENCH_BATCH",
+                               16384 if not small else 512))
     g, _contigs, idx = _bench_world(genome_len)
     al = MemAligner(MemOptions(), idx)
 

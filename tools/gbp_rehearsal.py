@@ -123,10 +123,12 @@ def main() -> None:
     n_chunks = int(_arg("--chunks", 3, int))
     cache = f"/tmp/bwamem_gbp_{gbp:g}_{sa_intv}.bmt.npz"
 
-    if "--cpu" in sys.argv:
-        import jax
+    import jax
 
-        jax.config.update("jax_platforms", "cpu")
+    # pin ONE platform: the "axon,cpu" multi-client init can wedge for
+    # minutes with a live tunnel (see bench.py _ensure_live_backend)
+    jax.config.update("jax_platforms",
+                      "cpu" if "--cpu" in sys.argv else "axon")
 
     g, idx, rep = build_world(gbp, sa_intv, cache)
     if "--build-only" in sys.argv:

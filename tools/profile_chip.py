@@ -24,6 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "") == "":
+        # pin ONE platform ("axon,cpu" multi-client init can wedge)
+        jax.config.update("jax_platforms", "axon")
     ap = argparse.ArgumentParser()
     ap.add_argument("--pe", action="store_true")
     ap.add_argument("--reads", type=int, default=8192)

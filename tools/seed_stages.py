@@ -16,6 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     import jax
+
+    if "--cpu" not in sys.argv:  # pin ONE platform ("axon,cpu" wedges)
+        jax.config.update("jax_platforms", "axon")
     import jax.numpy as jnp
 
     from bwamem_tpu.index.build import build_index_from_codes
