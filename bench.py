@@ -59,8 +59,10 @@ def _persist(kind: str, result: dict) -> None:
         pass
 
 
-def _ensure_live_backend(probe_timeout: float = 240.0,
-                         total_budget: float = 600.0) -> None:
+def _ensure_live_backend(
+        probe_timeout: float = 240.0,
+        total_budget: float = float(os.environ.get(
+            "BWAMEM_BENCH_PROBE_BUDGET", 600.0))) -> None:
     """Guard against a hung device tunnel: probe the default backend in a
     SUBPROCESS (a hung backend blocks at first dispatch with 0 CPU time,
     so an in-process check would hang this script with it). The probe

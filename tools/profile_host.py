@@ -12,9 +12,13 @@ Usage: python tools/profile_host.py [--pe] [--batch N] [--genome N]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
