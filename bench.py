@@ -46,8 +46,14 @@ _METRIC_SUFFIX = ""
 
 def _persist(kind: str, result: dict) -> None:
     """Write the figure as a committed artifact (only untagged on-chip
-    numbers; a cpu_fallback line is liveness, not evidence)."""
+    numbers; a cpu_fallback line is liveness, not evidence). A/B runs
+    with a non-default config (BENCH_SA_INTV / BWAMEM_BENCH_BATCH /
+    --random-genome) must never clobber the headline artifact."""
     if _METRIC_SUFFIX:
+        return
+    if (os.environ.get("BENCH_SA_INTV") or
+            os.environ.get("BWAMEM_BENCH_BATCH") or
+            "--random-genome" in sys.argv):
         return
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
