@@ -126,7 +126,7 @@ def main() -> None:
     la = 0 if args.serial else 2
     t0 = time.perf_counter()
     n_done = run_pipeline(records(), al, batch * read_len, sink, timings=tm,
-                          lookahead=la)
+                          lookahead=la, paired=args.pe)
     dt = (time.perf_counter() - t0) / args.iters
     print(tm.report())
     print(f"[profile] stats: {al.stats}")
