@@ -150,3 +150,30 @@ def sw_align_batch_stacked(query, target, qlen, tlen, mat, minsc,
     out = sw_align_batch(query, target, qlen, tlen, mat, minsc,
                          o_del, e_del, o_ins, e_ins, max_mat)
     return jnp.stack([out[k] for k in SW_KEYS])
+
+
+@partial(jax.jit,
+         static_argnames=("a", "b", "o_del", "e_del", "o_ins", "e_ins",
+                          "tmax", "interpret"))
+def sw_rescue_desc_stacked(fm, query, qlen, rb, tlen, minsc,
+                           a: int, b: int, o_del: int, e_del: int,
+                           o_ins: int, e_ins: int, tmax: int,
+                           interpret: bool = False):
+    """Mate-rescue SW fed by TARGET DESCRIPTORS: each job's reference
+    window [rb, rb+tlen) is gathered on-device from the packed genome in
+    HBM (ops/refgather.gather_window_fast) instead of being materialized
+    host-side and shipped over the host->device link — the (N, TMAX)
+    int32 window tiles were the dominant rescue H2D payload (~TMAX*4
+    bytes/job vs ~12 bytes of descriptor). The DP runs on the Pallas
+    local-SW kernel (ops/pallas/swalign_kernel.py). Returns the (6, N)
+    stacked result in SW_KEYS order, bit-identical to
+    sw_align_batch_stacked on host-fetched windows (the reference
+    fetches the same window via bns_get_seq, src/bwamem_pair.c:135-147).
+    """
+    from .pallas.swalign_kernel import sw_align_batch_pallas_stacked
+    from .refgather import gather_window_fast
+
+    target = gather_window_fast(fm, rb, tmax)
+    return sw_align_batch_pallas_stacked(
+        query.astype(jnp.int32), target, qlen, tlen, minsc,
+        a, b, o_del, e_del, o_ins, e_ins, interpret=interpret)

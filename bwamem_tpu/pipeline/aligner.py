@@ -1119,7 +1119,8 @@ class MemAligner:
                      for i in range(n_pairs)]
         if not (opt.flag & MEM_F_NO_RESCUE):
             with self._span("pe_rescue"):
-                mem_pe_rescue_batch(opt, idx, pes, pair_seqs, pair_regs)
+                mem_pe_rescue_batch(opt, idx, pes, pair_seqs, pair_regs,
+                                    dev=self.fm)
         return pair_regs, pes
 
     def align_pairs_batch(self, names: list[str], seqs: list[np.ndarray],

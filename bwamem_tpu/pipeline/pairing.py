@@ -235,38 +235,66 @@ def _matesw_apply(opt: MemOptions, l_pac: int, job: _SWJob, res: dict,
     return True
 
 
-def _run_sw_jobs(opt: MemOptions, jobs: list[_SWJob]) -> list[dict]:
-    """One batched device launch for a rescue round."""
+def _run_sw_jobs(opt: MemOptions, jobs: list[_SWJob],
+                 dev=None) -> list[dict]:
+    """One batched device launch for a rescue round.
+
+    With a DeviceFMIndex (`dev`) on a TPU backend, the launch is
+    descriptor-driven: only the oriented mate queries (int8) + window
+    start/length descriptors cross the host->device link, targets are
+    gathered from the HBM-resident genome, and the DP runs on the Pallas
+    local-SW kernel. Elsewhere (CPU tests) the lax.scan path runs on
+    host-materialized windows; both are bit-identical (ops/swalign.py).
+    """
+    import jax  # lazy: emit workers must stay jax-free
+    import jax.numpy as jnp
     from ..utils.shapes import bucket_count, bucket_len
 
     n_real = len(jobs)
     N = bucket_count(n_real)
     QMAX = bucket_len(max(len(j.seq) for j in jobs))
     TMAX = bucket_len(max(len(j.ref) for j in jobs))
-    Q = np.full((N, QMAX), 4, np.int32)
-    T = np.full((N, TMAX), 4, np.int32)
-    ql = np.zeros(N, np.int32)
-    tl = np.zeros(N, np.int32)
-    for i, j in enumerate(jobs):
-        Q[i, : len(j.seq)] = j.seq
-        T[i, : len(j.ref)] = j.ref
-        ql[i], tl[i] = len(j.seq), len(j.ref)
     minsc = np.full(N, opt.min_seed_len * opt.a, np.int32)
-    import jax.numpy as jnp  # lazy: emit workers must stay jax-free
-    from ..ops.swalign import SW_KEYS, sw_align_batch_stacked
+    use_desc = dev is not None and \
+        jax.default_backend() in ("tpu", "axon")
+    if use_desc:
+        from ..ops.swalign import SW_KEYS, sw_rescue_desc_stacked
 
-    stacked = np.asarray(sw_align_batch_stacked(
-        jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql),
-        jnp.asarray(tl), jnp.asarray(opt.mat), jnp.asarray(minsc),
-        opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-        opt.a))  # ONE dispatch + ONE D2H
+        Q = np.full((N, QMAX), 4, np.int8)
+        ql = np.zeros(N, np.int32)
+        tl = np.zeros(N, np.int32)
+        rb = np.zeros(N, np.int64)
+        for i, j in enumerate(jobs):
+            Q[i, : len(j.seq)] = j.seq
+            ql[i], tl[i], rb[i] = len(j.seq), len(j.ref), j.rb
+        stacked = np.asarray(sw_rescue_desc_stacked(
+            dev, jnp.asarray(Q), jnp.asarray(ql), jnp.asarray(rb),
+            jnp.asarray(tl), jnp.asarray(minsc), opt.a, opt.b,
+            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, TMAX))
+    else:
+        from ..ops.swalign import SW_KEYS, sw_align_batch_stacked
+
+        Q = np.full((N, QMAX), 4, np.int32)
+        T = np.full((N, TMAX), 4, np.int32)
+        ql = np.zeros(N, np.int32)
+        tl = np.zeros(N, np.int32)
+        for i, j in enumerate(jobs):
+            Q[i, : len(j.seq)] = j.seq
+            T[i, : len(j.ref)] = j.ref
+            ql[i], tl[i] = len(j.seq), len(j.ref)
+        stacked = np.asarray(sw_align_batch_stacked(
+            jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql),
+            jnp.asarray(tl), jnp.asarray(opt.mat), jnp.asarray(minsc),
+            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            opt.a))  # ONE dispatch + ONE D2H
     out = dict(zip(SW_KEYS, stacked))
     return [{k: out[k][i] for k in out} for i in range(n_real)]
 
 
 def mem_pe_rescue_batch(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
                         pair_seqs: list[tuple[np.ndarray, np.ndarray]],
-                        pair_regs: list[list[list[AlnReg]]]) -> int:
+                        pair_regs: list[list[list[AlnReg]]],
+                        dev=None) -> int:
     """Mate rescue for a whole chunk, batched per candidate round
     (reference: src/bwamem_pair.c:273-284 driving mem_matesw). Mutates
     pair_regs in place; returns the number of SW jobs run."""
@@ -302,7 +330,7 @@ def mem_pe_rescue_batch(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
     flat = [jb for (_i, _j, _pi, jobs) in rounds for jb in jobs]
     if not flat:
         return 0
-    results = _run_sw_jobs(opt, flat)
+    results = _run_sw_jobs(opt, flat, dev=dev)
     n_sw = 0
     k = 0
     for (i, j, pi, jobs) in rounds:
