@@ -107,11 +107,16 @@ def _make_sw_kernel(QP, TMAX, a, b, o_del, e_del, o_ins, e_ins,
 
         z1 = jnp.zeros((TILE, 1), jnp.int32)
         neg1 = jnp.full((TILE, 1), -1, jnp.int32)
-        rm0 = jnp.zeros((TILE, TMAX) if want_rowmax else (TILE, 1),
-                        jnp.int32)
-        init = (jnp.zeros((TILE, QP), jnp.int32),
-                jnp.zeros((TILE, QP), jnp.int32),
-                z1, neg1, neg1, rm0)
+        # DATA-DERIVED zero inits: a splat-constant (TILE, QP) carry gets
+        # a lane-replicated Mosaic layout while the loop body produces
+        # materialized vectors — the resulting relayout is rejected
+        # ("Non-singleton logical dimension is replicated in destination
+        # but not in source"). Deriving the zeros from input data (codes
+        # are always <= 4, so the predicate is never true) pins a
+        # materialized layout from iteration 0.
+        zq = jnp.where(q > 9, q, 0)
+        rm0 = jnp.where(t_all > 9, t_all, 0) if want_rowmax else z1
+        init = (zq, zq, z1, neg1, neg1, rm0)
         # dynamic trip count: the tile only runs to its own longest
         # target (callers sort jobs by tlen so tiles are length-coherent)
         tl_max = jnp.minimum(jnp.max(meta_ref[:, 1]), TMAX)

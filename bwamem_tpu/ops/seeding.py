@@ -72,6 +72,14 @@ class SeedConfig:
     r2_pool: int = 4       # round-2 walk lanes per read (global pool)
     r2_cand: int = 8       # round-2 backward candidate slots per read
     r3_pool: int = 8       # round-3 seed slots per read
+    merge_pool: int = 24   # merged-interval slots per read feeding the
+    #                        final (qbeg, qend) sort: the 3 rounds'
+    #                        SURVIVORS are compacted here before the
+    #                        argsort, so the sort runs over ~live-count
+    #                        keys instead of the 3 pools' combined width
+    #                        (the full-width argsort was 441 ms of a
+    #                        560 ms seeding program at B=16k,
+    #                        seed_stages_r4b.out)
     pair_backward: bool = False  # occ2 pair-step backward walk: halves
     #                        the serial trip chain but ~2.8x the VPU rank
     #                        work per base — LOSES on the throughput-bound
@@ -1127,7 +1135,7 @@ def smem_seed_batch_stacked(fm: DeviceFMIndex, reads, lens,
     """smem_seed_batch with the output pool pre-stacked on device so the
     host fetch is a single coalesced D2H with no eager stacking
     dispatches. The head row packs the scalars
-    [n_seeds, overflow, over_mult, mults x 5, needs x 5] into its first
+    [n_seeds, overflow, over_mult, mults x 6, needs x 6] into its first
     lanes (a
     second tiny D2H costs a full tunnel round-trip, so the scalars ride
     in a pool row).
@@ -1161,21 +1169,24 @@ def smem_seed_batch_stacked(fm: DeviceFMIndex, reads, lens,
             row, out["needs"].astype(row.dtype), (3 + nf,))
 
     if dt == jnp.int32 and B <= 0xFFFF and L <= 0x7FFF:
-        # packed v2 (4, P + 4): the 13 head scalars ride COLUMN-MAJOR in
+        # packed v2 (4, P + 4): the 15 head scalars ride COLUMN-MAJOR in
         # the first 4 lanes of the 4 data rows (scalar j at row j%4,
         # lane j//4), so a single prefix slice raw[:, :4+nf] carries the
         # scalars AND the first nf seeds with zero wasted rows — the
         # aligner's speculative one-shot prefix fetch depends on this
         # (a separate head row cost either a second tunnel round-trip or
         # a 25% wider transfer).
-        head13 = jnp.stack(
+        nf = out["mults"].shape[0]
+        head15 = jnp.stack(
             [out["n_seeds"].astype(jnp.int32),
              out["overflow"].astype(jnp.int32),
              out["over_mult"].astype(jnp.int32)]
-            + [out["mults"][i].astype(jnp.int32) for i in range(5)]
-            + [out["needs"][i].astype(jnp.int32) for i in range(5)])
+            + [out["mults"][i].astype(jnp.int32) for i in range(nf)]
+            + [out["needs"][i].astype(jnp.int32) for i in range(nf)])
         hdr = jnp.concatenate(
-            [head13, jnp.zeros((3,), jnp.int32)]).reshape(4, 4).T
+            [head15,
+             jnp.zeros((16 - head15.shape[0],), jnp.int32)]
+        ).reshape(4, 4).T
         qpack = (jnp.maximum(out["qbeg"], 0) << 16) | \
             (out["qend"] & 0xFFFF)
         data = jnp.stack([
@@ -1254,8 +1265,8 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
     one = jnp.int32(1)
     zero = jnp.int32(0)
     m_cand = _cd(c_need, cand_cap)
-    m_r2lane = m_r2cand = m_r3 = one
-    n_r2lane = n_r2cand = n_r3 = zero
+    m_r2lane = m_r2cand = m_r3 = m_merge = one
+    n_r2lane = n_r2cand = n_r3 = n_merge = zero
     if cfg.reseed and cfg.mode == "smem":
         # vanilla bwa's rounds 2+3 (bwa_index/bwamem.c:129-159); the
         # merged interval list is re-sorted to vanilla's (qbeg, qend)
@@ -1333,11 +1344,23 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         rid_m, qb_m, end_m, k_m, s_m, keep_m, rdir_m = (
             jnp.concatenate([c.astype(cols[i][0].dtype) for c in cols[i]])
             for i in range(7))
-        # 32-bit sort keys when (B, L) fit — the merged-pool argsort is
-        # one of the largest remaining seeding stages and int32 sorts
-        # roughly 2x faster than int64 on the VPU. Any live key is
-        # < B*(L+2)^2, so requiring that bound <= sentinel guarantees
-        # dropped rows (= sentinel) sort strictly after every live one.
+        # compact the SURVIVORS of all 3 rounds into B*merge_pool slots
+        # BEFORE sorting: the argsort over the pools' combined width
+        # (cand_pool + r2_cand + r3_pool per read) was the single
+        # largest seeding stage (441 of 560 ms at B=16k,
+        # seed_stages_r4b.out) while live intervals are ~10-20/read.
+        # _compact_flat is stable, so the live order — and therefore the
+        # stable-argsort result — is identical to sorting uncompacted.
+        merge_cap = B * cfg.merge_pool
+        (rid_m, qb_m, end_m, k_m, s_m, rdir_m), keep_m, mg_need = \
+            _compact_flat((rid_m, qb_m, end_m, k_m, s_m, rdir_m),
+                          keep_m, merge_cap)
+        m_merge = _cd(mg_need, merge_cap)
+        n_merge = mg_need.astype(jnp.int32)
+        # 32-bit sort keys when (B, L) fit — int32 sorts roughly 2x
+        # faster than int64 on the VPU. Any live key is < B*(L+2)^2, so
+        # requiring that bound <= sentinel guarantees dropped rows
+        # (= sentinel) sort strictly after every live one.
         if B * (L + 2) * (L + 2) <= (1 << 30) + (1 << 29):
             kdt, sentinel = jnp.int32, jnp.int32((1 << 30) + (1 << 29))
         else:
@@ -1356,16 +1379,16 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         fm, rid, qbeg, end, k, s, keep, B * cfg.seed_pool, cfg.max_occ,
         rdir=rdir)
     m_seed = _cd(out["need"], B * cfg.seed_pool)
-    # per-stage multipliers, order matching SeedConfig pool fields:
-    # (cand_pool, r2_pool, r2_cand, r3_pool, seed_pool)
-    mults = jnp.stack([m_cand, m_r2lane, m_r2cand, m_r3, m_seed])
+    # per-stage multipliers, order matching poolstore.POOL_FIELDS:
+    # (cand_pool, r2_pool, r2_cand, r3_pool, merge_pool, seed_pool)
+    mults = jnp.stack([m_cand, m_r2lane, m_r2cand, m_r3, m_merge, m_seed])
     out["mults"] = mults
     # absolute per-pool emission counts (same field order): the sidecar
     # learns a high-water mark from these so later processes can start
     # SMALLER than a one-off worst case — oversized pools directly cost
     # backward/SA-walk lanes and argsort width (BENCH_BREAKDOWN.md)
     out["needs"] = jnp.stack([c_need.astype(jnp.int32), n_r2lane,
-                              n_r2cand, n_r3,
+                              n_r2cand, n_r3, n_merge,
                               out["need"].astype(jnp.int32)])
     mult = jnp.max(mults)
     out["over_mult"] = mult

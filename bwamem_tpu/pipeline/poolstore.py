@@ -24,10 +24,12 @@ import threading
 # (r2_emit retired in round 3: the round-2 emission plane is trip-indexed
 # and always fits, so that knob and its overflow-retry class are gone;
 # stale sidecar entries carrying it are ignored by lookup())
-POOL_FIELDS = ("cand_pool", "r2_pool", "r2_cand", "r3_pool", "seed_pool")
+POOL_FIELDS = ("cand_pool", "r2_pool", "r2_cand", "r3_pool",
+               "merge_pool", "seed_pool")
 # per-stage caps: beyond these the spill path (batch split) takes over
 POOL_CAPS = {"cand_pool": 4096, "r2_pool": 1024,
-             "r2_cand": 2048, "r3_pool": 1024, "seed_pool": 4096}
+             "r2_cand": 2048, "r3_pool": 1024, "merge_pool": 8192,
+             "seed_pool": 4096}
 
 
 def default_path() -> str:

@@ -74,3 +74,29 @@ def test_error_exit_codes(world):
     r = _run(["align", "-t", "1", str(d / "idx"), str(trunc)])
     assert r.returncode == 1
     assert b"[bwamem-tpu] error:" in r.stderr
+
+
+def test_thread_count_byte_parity(world):
+    """-t 1/2/4 must produce byte-identical SAM (PARITY.md row 3: the
+    fork-pool analog of kt_for must not change output with worker
+    count; reference src/kthread.c:59-222 partitions work but the
+    ordered 3-stage pipeline makes output order thread-invariant).
+    Enough reads that the pool actually splits work across workers."""
+    d, fq = world
+    rng = np.random.default_rng(5)
+    G = 50_000
+    # reuse the module genome via its FASTA text
+    s = (d / "ref.fa").read_text().split("\n", 1)[1].replace("\n", "")
+    lines = []
+    for i in range(300):
+        p = int(rng.integers(0, G - 120))
+        lines.append(f"@t{i}\n{s[p:p+120]}\n+\n{'I' * 120}\n")
+    (d / "many.fq").write_text("".join(lines))
+    outs = []
+    for t in ("1", "2", "4"):
+        r = _run(["align", "-t", t, str(d / "idx"), str(d / "many.fq")])
+        assert r.returncode == 0, r.stderr[-400:]
+        body = [ln for ln in r.stdout.decode().splitlines()
+                if not ln.startswith("@PG")]
+        outs.append(body)
+    assert outs[0] == outs[1] == outs[2]

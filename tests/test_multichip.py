@@ -86,3 +86,38 @@ def test_full_pipeline_sharded_matches_single():
     mesh = make_mesh(8)
     multi = MemAligner(MemOptions(), idx, mesh=mesh).align_batch(names, seqs)
     assert single == multi
+
+
+def test_full_pipeline_pe_sharded_matches_single():
+    """PAIRED-END through the mesh: the complete PE flow (collect +
+    pestat + batched mate rescue + pairing + PE SAM) over 8 devices must
+    emit identical SAM lines to single-device (the SE-only variant above
+    left rescue/pairing unexercised across shard_map)."""
+    from bwamem_tpu.index.build import build_index_from_codes
+    from bwamem_tpu.index.format import Annotation
+    from bwamem_tpu.pipeline.aligner import MemAligner
+    from bwamem_tpu.pipeline.options import MemOptions
+
+    rng = np.random.default_rng(23)
+    g = rng.integers(0, 4, 40000, dtype=np.uint8)
+    ann = Annotation(names=["c"], lengths=[40000], offsets=[0])
+    idx = build_index_from_codes(g, ann, sa_intv=8)
+    names, seqs = [], []
+    for i in range(40):
+        isize = 240 + int(rng.integers(0, 80))
+        p = int(rng.integers(0, 40000 - isize - 1))
+        frag = g[p : p + isize]
+        a = frag[:100].copy()
+        b = (3 - frag[-100:])[::-1].copy()
+        for r in (a, b):
+            r[int(rng.integers(0, 100))] ^= 1
+        # a few pairs with a shattered mate so rescue has work to do
+        if i % 7 == 0:
+            b = rng.integers(0, 4, 100, dtype=b.dtype)
+        names += [f"p{i}", f"p{i}"]
+        seqs += [a, b]
+    single = MemAligner(MemOptions(), idx).align_pairs_batch(names, seqs)
+    mesh = make_mesh(8)
+    multi = MemAligner(MemOptions(), idx,
+                       mesh=mesh).align_pairs_batch(names, seqs)
+    assert single == multi
