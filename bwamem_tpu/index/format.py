@@ -128,6 +128,37 @@ class FMIndex:
         pos = 2 * lp - 1 - np.arange(beg, end)
         return beg, end, (3 - self.get_base(pos)).astype(np.uint8)
 
+    def fetch_bounds_rid(self, beg: int, end: int,
+                         mid: int) -> tuple[int, int, int]:
+        """The clipping half of fetch_seq_rid WITHOUT materializing the
+        bases: (beg, end, rid) after rid-boundary + strand clipping.
+        Callers that gather the window on-device (descriptor-driven mate
+        rescue) only need the bounds — per-job base extraction was the
+        dominant host cost of the rescue build loop."""
+        lp = self.l_pac
+        is_rev = mid >= lp
+        fpos = (2 * lp - 1 - mid) if is_rev else mid
+        rid = self.ann.pos_to_rid(fpos)
+        if rid < 0:
+            return beg, beg, rid
+        far_beg = self.ann.offsets[rid]
+        far_end = far_beg + self.ann.lengths[rid]
+        if is_rev:
+            far_beg, far_end = 2 * lp - far_end, 2 * lp - far_beg
+        beg = max(beg, far_beg)
+        end = min(end, far_end)
+        # fetch_seq's strand clip (bns_fetch_seq clips at the boundary
+        # of mid's strand)
+        if mid < lp:
+            end = min(end, lp)
+        else:
+            beg = max(beg, lp)
+        beg = max(beg, 0)
+        end = min(end, 2 * lp)
+        if end < beg:
+            end = beg
+        return beg, end, rid
+
     def fetch_seq_rid(self, beg: int, end: int,
                       mid: int) -> tuple[int, int, np.ndarray, int]:
         """bns_fetch_seq equivalent (reference: src/bntseq.c bns_fetch_seq):

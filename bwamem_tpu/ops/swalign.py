@@ -158,7 +158,7 @@ def sw_align_batch_stacked(query, target, qlen, tlen, mat, minsc,
 def sw_rescue_desc_stacked(fm, query, qlen, rb, tlen, minsc,
                            a: int, b: int, o_del: int, e_del: int,
                            o_ins: int, e_ins: int, tmax: int,
-                           interpret: bool = False):
+                           interpret: bool | None = None):
     """Mate-rescue SW fed by TARGET DESCRIPTORS: each job's reference
     window [rb, rb+tlen) is gathered on-device from the packed genome in
     HBM (ops/refgather.gather_window_fast) instead of being materialized
@@ -173,6 +173,8 @@ def sw_rescue_desc_stacked(fm, query, qlen, rb, tlen, minsc,
     from .pallas.swalign_kernel import sw_align_batch_pallas_stacked
     from .refgather import gather_window_fast
 
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     target = gather_window_fast(fm, rb, tmax)
     return sw_align_batch_pallas_stacked(
         query.astype(jnp.int32), target, qlen, tlen, minsc,

@@ -148,8 +148,10 @@ def pestat_from_spec(spec: str) -> list[PEStat]:
 @dataclass
 class _SWJob:
     seq: np.ndarray      # oriented mate sequence
-    ref: np.ndarray
+    ref: np.ndarray | None  # window bases (None on the descriptor path:
+    #                         targets are gathered on-device from rb/tlen)
     rb: int              # clipped window start (doubled coords)
+    tlen: int            # clipped window length
     is_rev: bool
     l_ms: int
     rid: int
@@ -171,10 +173,13 @@ def _matesw_skip(pes: list[PEStat], l_pac: int, a: AlnReg,
 
 
 def _matesw_build(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
-                  a: AlnReg, ms: np.ndarray,
-                  ma: list[AlnReg]) -> list[_SWJob]:
+                  a: AlnReg, ms: np.ndarray, ma: list[AlnReg],
+                  materialize: bool = True) -> list[_SWJob]:
     """Window construction half of mem_matesw (reference:
-    src/bwamem_pair.c:122-155): returns the SW jobs to run (<= 4)."""
+    src/bwamem_pair.c:122-155): returns the SW jobs to run (<= 4).
+    With materialize=False only the clipped window BOUNDS are computed
+    (the descriptor path gathers the bases on-device; per-job base
+    extraction dominated the host half of rescue)."""
     l_pac = idx.l_pac
     l_ms = len(ms)
     skip = _matesw_skip(pes, l_pac, a, ma)
@@ -198,12 +203,18 @@ def _matesw_build(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
         re = min(re, l_pac << 1)
         if rb >= re:
             continue
-        rb, re, ref, rid = idx.fetch_seq_rid(rb, re, mid=(rb + re) >> 1)
+        if materialize:
+            rb, re, ref, rid = idx.fetch_seq_rid(rb, re,
+                                                 mid=(rb + re) >> 1)
+            ref = ref.astype(np.int32)
+        else:
+            rb, re, rid = idx.fetch_bounds_rid(rb, re, mid=(rb + re) >> 1)
+            ref = None
         if a.rid != rid or re - rb < opt.min_seed_len:
             continue
         seq = ms if not is_rev else \
             np.where(ms < 4, 3 - ms, 4)[::-1].astype(ms.dtype)
-        jobs.append(_SWJob(seq=seq, ref=ref.astype(np.int32), rb=rb,
+        jobs.append(_SWJob(seq=seq, ref=ref, rb=rb, tlen=re - rb,
                            is_rev=is_rev, l_ms=l_ms, rid=rid,
                            is_alt=a.is_alt, r=r))
     return jobs
@@ -235,28 +246,35 @@ def _matesw_apply(opt: MemOptions, l_pac: int, job: _SWJob, res: dict,
     return True
 
 
+def _use_desc_rescue(dev) -> bool:
+    """Descriptor-driven rescue (device target gather + Pallas SW) is
+    the TPU path; CPU tests take the host-window lax path."""
+    if dev is None:
+        return False
+    import jax  # lazy: emit workers must stay jax-free
+
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _run_sw_jobs(opt: MemOptions, jobs: list[_SWJob],
-                 dev=None) -> list[dict]:
+                 dev=None, use_desc: bool = False) -> list[dict]:
     """One batched device launch for a rescue round.
 
-    With a DeviceFMIndex (`dev`) on a TPU backend, the launch is
+    With use_desc (a DeviceFMIndex on a TPU backend), the launch is
     descriptor-driven: only the oriented mate queries (int8) + window
     start/length descriptors cross the host->device link, targets are
     gathered from the HBM-resident genome, and the DP runs on the Pallas
     local-SW kernel. Elsewhere (CPU tests) the lax.scan path runs on
     host-materialized windows; both are bit-identical (ops/swalign.py).
     """
-    import jax  # lazy: emit workers must stay jax-free
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # lazy: emit workers must stay jax-free
     from ..utils.shapes import bucket_count, bucket_len
 
     n_real = len(jobs)
     N = bucket_count(n_real)
     QMAX = bucket_len(max(len(j.seq) for j in jobs))
-    TMAX = bucket_len(max(len(j.ref) for j in jobs))
+    TMAX = bucket_len(max(j.tlen for j in jobs))
     minsc = np.full(N, opt.min_seed_len * opt.a, np.int32)
-    use_desc = dev is not None and \
-        jax.default_backend() in ("tpu", "axon")
     if use_desc:
         from ..ops.swalign import SW_KEYS, sw_rescue_desc_stacked
 
@@ -266,7 +284,7 @@ def _run_sw_jobs(opt: MemOptions, jobs: list[_SWJob],
         rb = np.zeros(N, np.int64)
         for i, j in enumerate(jobs):
             Q[i, : len(j.seq)] = j.seq
-            ql[i], tl[i], rb[i] = len(j.seq), len(j.ref), j.rb
+            ql[i], tl[i], rb[i] = len(j.seq), j.tlen, j.rb
         stacked = np.asarray(sw_rescue_desc_stacked(
             dev, jnp.asarray(Q), jnp.asarray(ql), jnp.asarray(rb),
             jnp.asarray(tl), jnp.asarray(minsc), opt.a, opt.b,
@@ -280,8 +298,8 @@ def _run_sw_jobs(opt: MemOptions, jobs: list[_SWJob],
         tl = np.zeros(N, np.int32)
         for i, j in enumerate(jobs):
             Q[i, : len(j.seq)] = j.seq
-            T[i, : len(j.ref)] = j.ref
-            ql[i], tl[i] = len(j.seq), len(j.ref)
+            T[i, : j.tlen] = j.ref
+            ql[i], tl[i] = len(j.seq), j.tlen
         stacked = np.asarray(sw_align_batch_stacked(
             jnp.asarray(Q), jnp.asarray(T), jnp.asarray(ql),
             jnp.asarray(tl), jnp.asarray(opt.mat), jnp.asarray(minsc),
@@ -294,10 +312,16 @@ def _run_sw_jobs(opt: MemOptions, jobs: list[_SWJob],
 def mem_pe_rescue_batch(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
                         pair_seqs: list[tuple[np.ndarray, np.ndarray]],
                         pair_regs: list[list[list[AlnReg]]],
-                        dev=None) -> int:
+                        dev=None, span=None) -> int:
     """Mate rescue for a whole chunk, batched per candidate round
     (reference: src/bwamem_pair.c:273-284 driving mem_matesw). Mutates
-    pair_regs in place; returns the number of SW jobs run."""
+    pair_regs in place; returns the number of SW jobs run.
+    `span`: optional Timings.span factory for build/launch/apply
+    sub-attribution."""
+    from contextlib import nullcontext
+
+    sp = span or (lambda _label: nullcontext())
+    use_desc = _use_desc_rescue(dev)
     n_pairs = len(pair_seqs)
     # snapshot both ends' candidate lists BEFORE any rescue
     cand: list[list[list[AlnReg]]] = []
@@ -316,37 +340,41 @@ def mem_pe_rescue_batch(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
     # against the live state (bit-identical to the sequential rounds,
     # which cost one dispatch+transfer round-trip each).
     rounds: list[tuple[int, int, int, list[_SWJob]]] = []  # (i, j, pi, jobs)
-    for i in (0, 1):
-        jmax = max((len(c[i]) for c in cand), default=0)
-        for j in range(jmax):
-            for pi in range(n_pairs):
-                if j >= len(cand[pi][i]):
-                    continue
-                jobs = _matesw_build(opt, idx, pes, cand[pi][i][j],
-                                     pair_seqs[pi][1 - i],
-                                     pair_regs[pi][1 - i])
-                if jobs:
-                    rounds.append((i, j, pi, jobs))
-    flat = [jb for (_i, _j, _pi, jobs) in rounds for jb in jobs]
+    with sp("pe_rescue_build"):
+        for i in (0, 1):
+            jmax = max((len(c[i]) for c in cand), default=0)
+            for j in range(jmax):
+                for pi in range(n_pairs):
+                    if j >= len(cand[pi][i]):
+                        continue
+                    jobs = _matesw_build(opt, idx, pes, cand[pi][i][j],
+                                         pair_seqs[pi][1 - i],
+                                         pair_regs[pi][1 - i],
+                                         materialize=not use_desc)
+                    if jobs:
+                        rounds.append((i, j, pi, jobs))
+        flat = [jb for (_i, _j, _pi, jobs) in rounds for jb in jobs]
     if not flat:
         return 0
-    results = _run_sw_jobs(opt, flat, dev=dev)
+    with sp("pe_rescue_sw"):
+        results = _run_sw_jobs(opt, flat, dev=dev, use_desc=use_desc)
     n_sw = 0
     k = 0
-    for (i, j, pi, jobs) in rounds:
-        a = cand[pi][i][j]
-        ma = pair_regs[pi][1 - i]
-        skip = _matesw_skip(pes, idx.l_pac, a, ma)
-        applied = False
-        for jb in jobs:
-            if not skip[jb.r]:
-                _matesw_apply(opt, idx.l_pac, jb, results[k], ma)
-                n_sw += 1
-                applied = True
-            k += 1
-        if applied:
-            pair_regs[pi][1 - i] = mem_sort_dedup_patch(
-                opt, idx, None, ma, patch=False)
+    with sp("pe_rescue_apply"):
+        for (i, j, pi, jobs) in rounds:
+            a = cand[pi][i][j]
+            ma = pair_regs[pi][1 - i]
+            skip = _matesw_skip(pes, idx.l_pac, a, ma)
+            applied = False
+            for jb in jobs:
+                if not skip[jb.r]:
+                    _matesw_apply(opt, idx.l_pac, jb, results[k], ma)
+                    n_sw += 1
+                    applied = True
+                k += 1
+            if applied:
+                pair_regs[pi][1 - i] = mem_sort_dedup_patch(
+                    opt, idx, None, ma, patch=False)
     return n_sw
 
 

@@ -156,3 +156,55 @@ def test_rescue_descriptor_path_matches_host(tiny_index):
         opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
         TMAX, interpret=True))
     np.testing.assert_array_equal(desc, host)
+
+
+def test_rescue_batch_desc_equals_host(tiny_index, monkeypatch):
+    """mem_pe_rescue_batch with the descriptor/Pallas arm forced on
+    (interpret mode) mutates pair_regs identically to the default
+    host-window lax arm."""
+    import copy
+
+    from bwamem_tpu.pipeline import pairing
+    from bwamem_tpu.pipeline.aligner import MemAligner
+    from bwamem_tpu.pipeline.options import MemOptions
+
+    genome, idx = tiny_index
+    rng = np.random.default_rng(77)
+    seqs = []
+    for i in range(24):
+        isize = 300 + int(rng.integers(0, 60))
+        p = int(rng.integers(0, 2000 - isize - 1))
+        frag = genome[p : p + isize]
+        a = frag[:80].astype(np.uint8).copy()
+        b = (3 - frag[-80:])[::-1].astype(np.uint8).copy()
+        if i % 4 == 0:  # shattered mate -> rescue target
+            b = rng.integers(0, 4, 80, dtype=np.uint8)
+        seqs += [a, b]
+    al = MemAligner(MemOptions(), idx)
+    per_read = al.collect_regs_batch(seqs)
+    from bwamem_tpu.pipeline.regarrays import RegArrays
+
+    if isinstance(per_read, RegArrays):
+        per_read = per_read.to_lists()
+    pes = pairing.mem_pestat(al.opt, idx.l_pac, per_read)
+    pair_seqs = [(seqs[2 * i], seqs[2 * i + 1]) for i in range(24)]
+
+    def regs():
+        return [[copy.deepcopy(per_read[2 * i]),
+                 copy.deepcopy(per_read[2 * i + 1])] for i in range(24)]
+
+    host_regs = regs()
+    n_host = pairing.mem_pe_rescue_batch(al.opt, idx, pes, pair_seqs,
+                                         host_regs, dev=al.fm)
+    monkeypatch.setattr(pairing, "_use_desc_rescue", lambda d: d is not None)
+    desc_regs = regs()
+    n_desc = pairing.mem_pe_rescue_batch(al.opt, idx, pes, pair_seqs,
+                                         desc_regs, dev=al.fm)
+    assert n_host == n_desc and n_host > 0
+    for pi in range(24):
+        for e in (0, 1):
+            ra, rb_ = host_regs[pi][e], desc_regs[pi][e]
+            assert len(ra) == len(rb_)
+            for x, y in zip(ra, rb_):
+                assert (x.rb, x.re, x.qb, x.qe, x.score, x.csub) == \
+                       (y.rb, y.re, y.qb, y.qe, y.score, y.csub)

@@ -127,9 +127,20 @@ def main() -> None:
     t0 = time.perf_counter()
     n_done = run_pipeline(records(), al, batch * read_len, sink, timings=tm,
                           lookahead=la, paired=args.pe)
-    dt = (time.perf_counter() - t0) / args.iters
+    wall = time.perf_counter() - t0
+    dt = wall / args.iters
     print(tm.report())
     print(f"[profile] stats: {al.stats}")
+    # overlap efficiency (VERDICT r4 #8): with lookahead, concurrent
+    # stage spans sum past the wall clock; spans/wall > 1 means overlap
+    # is real, and device_busy shows how much of the wall the chip works
+    spans = dict(tm.totals)
+    ssum = sum(v for k, v in spans.items() if k != "collect")
+    dev = sum(spans.get(k, 0.0) for k in ("seed_device", "ext_device",
+                                          "pe_rescue"))
+    if wall > 0:
+        print(f"[profile] overlap: wall={wall:.2f}s span_sum={ssum:.2f}s "
+              f"({ssum / wall:.2f}x) device_busy={dev / wall:.1%}")
     unit = "pairs/s" if args.pe else "reads/s"
     per = (batch // 2) if args.pe else batch
     print(json.dumps({"metric": "profile_e2e", "value": round(per / dt, 1),
