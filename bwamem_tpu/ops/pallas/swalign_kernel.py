@@ -190,18 +190,26 @@ def _sw_pallas_impl(query, target, meta, params_tuple, tile, want_rowmax,
 
 @partial(jax.jit,
          static_argnames=("o_del", "e_del", "o_ins", "e_ins", "a", "b",
-                          "tile", "interpret"))
+                          "rev_skip", "tile", "interpret"))
 def sw_align_batch_pallas_stacked(query, target, qlen, tlen, minsc,
                                   a: int, b: int,
                                   o_del: int, e_del: int,
                                   o_ins: int, e_ins: int,
+                                  rev_skip: int = 0,
                                   tile: int | None = None,
                                   interpret: bool = False):
     """Batched ksw_align2 on the Pallas kernel. Returns one (6, N) int32
     array in SW_STACK_KEYS order (= ops.swalign.SW_KEYS): score, qb, qe,
     tb, te (inclusive 0-based ends; -1 when score == 0) and score2.
     Bit-identical to ops.swalign.sw_align_batch with the bwa matrix
-    form mat[i][j] = a if i==j else -b (N rows/cols = -1)."""
+    form mat[i][j] = a if i==j else -b (N rows/cols = -1).
+
+    rev_skip > 0: lanes with forward score < rev_skip skip the reverse
+    (start-coordinate) sweep and report qb = tb = -1 — exact for
+    callers that reject sub-threshold hits anyway (mate rescue rejects
+    score < min_seed_len before reading qb; reference
+    src/bwamem_pair.c:156). Most rescue probes miss, so this halves the
+    DP for the common case."""
     N, QMAX = query.shape
     query = query.astype(jnp.int32)
     target = target.astype(jnp.int32)
@@ -241,21 +249,29 @@ def sw_align_batch_pallas_stacked(query, target, qlen, tlen, minsc,
     score2 = jnp.max(jnp.where(ok, rowmax, 0), axis=1)
 
     # reverse pass over reversed prefixes query[:qe+1], target[:te+1]
-    rqlen = jnp.maximum(qe + 1, 0)
-    rtlen = jnp.maximum(te + 1, 0)
+    live = best >= rev_skip if rev_skip > 0 \
+        else jnp.ones_like(best, bool)
+    rqlen = jnp.where(live, jnp.maximum(qe + 1, 0), 0)
+    rtlen = jnp.where(live, jnp.maximum(te + 1, 0), 0)
     qg = qe[:, None] - jnp.arange(QP, dtype=jnp.int32)[None, :]
     tg = te[:, None] - jnp.arange(TMAX, dtype=jnp.int32)[None, :]
     rquery = jnp.take_along_axis(qs[:N], jnp.clip(qg, 0, QP - 1), axis=1)
     rtarget = jnp.take_along_axis(ts[:N], jnp.clip(tg, 0, TMAX - 1),
                                   axis=1)
-    rqs = jnp.full((Np, QP), 4, jnp.int32).at[:N].set(rquery)
-    rts = jnp.full((Np, TMAX), 4, jnp.int32).at[:N].set(rtarget)
+    # the reverse sweep gets its own tlen sort: reverse lengths follow
+    # te (+ the rev_skip zeros), not the forward sort order
+    order2 = jnp.argsort(rtlen)
+    inv2 = jnp.argsort(order2)
+    rqs = jnp.full((Np, QP), 4, jnp.int32).at[:N].set(rquery[order2])
+    rts = jnp.full((Np, TMAX), 4, jnp.int32).at[:N].set(rtarget[order2])
     rmeta = jnp.zeros((Np, 8), jnp.int32)
-    rmeta = rmeta.at[:N, 0].set(rqlen)
-    rmeta = rmeta.at[:N, 1].set(rtlen)
+    rmeta = rmeta.at[:N, 0].set(rqlen[order2])
+    rmeta = rmeta.at[:N, 1].set(rtlen[order2])
     rout, _ = _sw_pallas_impl(rqs, rts, rmeta, pt, tile, False, interpret)
-    rbest, rqe, rte = rout[:N, 0], rout[:N, 1], rout[:N, 2]
-    good = rbest == best
+    rbest = rout[:N, 0][inv2]
+    rqe = rout[:N, 1][inv2]
+    rte = rout[:N, 2][inv2]
+    good = jnp.logical_and(live, rbest == best)
     qb = jnp.where(good, qe - rqe, -1)
     tb = jnp.where(good, te - rte, -1)
     stacked = jnp.stack([best, qb, qe, tb, te, score2])

@@ -154,10 +154,11 @@ def sw_align_batch_stacked(query, target, qlen, tlen, mat, minsc,
 
 @partial(jax.jit,
          static_argnames=("a", "b", "o_del", "e_del", "o_ins", "e_ins",
-                          "tmax", "interpret"))
+                          "tmax", "rev_skip", "interpret"))
 def sw_rescue_desc_stacked(fm, query, qlen, rb, tlen, minsc,
                            a: int, b: int, o_del: int, e_del: int,
                            o_ins: int, e_ins: int, tmax: int,
+                           rev_skip: int = 0,
                            interpret: bool | None = None):
     """Mate-rescue SW fed by TARGET DESCRIPTORS: each job's reference
     window [rb, rb+tlen) is gathered on-device from the packed genome in
@@ -178,4 +179,5 @@ def sw_rescue_desc_stacked(fm, query, qlen, rb, tlen, minsc,
     target = gather_window_fast(fm, rb, tmax)
     return sw_align_batch_pallas_stacked(
         query.astype(jnp.int32), target, qlen, tlen, minsc,
-        a, b, o_del, e_del, o_ins, e_ins, interpret=interpret)
+        a, b, o_del, e_del, o_ins, e_ins, rev_skip=rev_skip,
+        interpret=interpret)

@@ -1120,7 +1120,8 @@ class MemAligner:
         if not (opt.flag & MEM_F_NO_RESCUE):
             with self._span("pe_rescue"):
                 mem_pe_rescue_batch(opt, idx, pes, pair_seqs, pair_regs,
-                                    dev=self.fm, span=self._span)
+                                    dev=self.fm, span=self._span,
+                                    stats=self.stats)
         return pair_regs, pes
 
     def align_pairs_batch(self, names: list[str], seqs: list[np.ndarray],

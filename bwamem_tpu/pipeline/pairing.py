@@ -285,10 +285,14 @@ def _run_sw_jobs(opt: MemOptions, jobs: list[_SWJob],
         for i, j in enumerate(jobs):
             Q[i, : len(j.seq)] = j.seq
             ql[i], tl[i], rb[i] = len(j.seq), j.tlen, j.rb
+        # rev_skip: _matesw_apply rejects score < min_seed_len before
+        # reading qb/tb (reference src/bwamem_pair.c:156), so failed
+        # probes — the common case — skip the reverse sweep entirely
         stacked = np.asarray(sw_rescue_desc_stacked(
             dev, jnp.asarray(Q), jnp.asarray(ql), jnp.asarray(rb),
             jnp.asarray(tl), jnp.asarray(minsc), opt.a, opt.b,
-            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, TMAX))
+            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, TMAX,
+            rev_skip=opt.min_seed_len))
     else:
         from ..ops.swalign import SW_KEYS, sw_align_batch_stacked
 
@@ -312,7 +316,7 @@ def _run_sw_jobs(opt: MemOptions, jobs: list[_SWJob],
 def mem_pe_rescue_batch(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
                         pair_seqs: list[tuple[np.ndarray, np.ndarray]],
                         pair_regs: list[list[list[AlnReg]]],
-                        dev=None, span=None) -> int:
+                        dev=None, span=None, stats=None) -> int:
     """Mate rescue for a whole chunk, batched per candidate round
     (reference: src/bwamem_pair.c:273-284 driving mem_matesw). Mutates
     pair_regs in place; returns the number of SW jobs run.
@@ -375,6 +379,9 @@ def mem_pe_rescue_batch(opt: MemOptions, idx: FMIndex, pes: list[PEStat],
             if applied:
                 pair_regs[pi][1 - i] = mem_sort_dedup_patch(
                     opt, idx, None, ma, patch=False)
+    if stats is not None:
+        stats["rescue_jobs"] = stats.get("rescue_jobs", 0) + len(flat)
+        stats["rescue_applied"] = stats.get("rescue_applied", 0) + n_sw
     return n_sw
 
 
