@@ -72,7 +72,7 @@ class SeedConfig:
     r2_pool: int = 4       # round-2 walk lanes per read (global pool)
     r2_cand: int = 8       # round-2 backward candidate slots per read
     r3_pool: int = 8       # round-3 seed slots per read
-    merge_pool: int = 24   # merged-interval slots per read feeding the
+    merge_pool: int = 12   # merged-interval slots per read feeding the
     #                        final (qbeg, qend) sort: the 3 rounds'
     #                        SURVIVORS are compacted here before the
     #                        argsort, so the sort runs over ~live-count

@@ -371,8 +371,20 @@ class MemAligner:
         # as aligner instance state: lookahead=2 runs two collect()
         # threads concurrently on this aligner, and a shared stash would
         # hand chunk A's extension chunk B's reads (silent corruption).
-        reads_j = jnp.asarray(reads)
+        # The upload itself is a 2-bit plane + N exception list
+        # (ops/readpack) — 4x fewer bytes on the pipeline's largest H2D
+        # (the device-side unpack is one cheap dispatch).
         lens_j = jnp.asarray(lens)
+        reads_j = None
+        if self.mesh is None:
+            from ..ops.readpack import pack_reads_host, unpack_reads
+
+            words, npos, ok = pack_reads_host(reads)
+            if ok:
+                reads_j = unpack_reads(jnp.asarray(words), lens_j,
+                                       jnp.asarray(npos), L)
+        if reads_j is None:
+            reads_j = jnp.asarray(reads)
         reads_stage = ((len(seqs), L, reads_j)
                        if self.mesh is None else None)
 
@@ -550,14 +562,27 @@ class MemAligner:
             gid=int(getattr(self.idx, "l_pac", 0)))
         learned = self.pool_store.lookup(pool_key)
         if learned:
+            # adopt the learned size in BOTH directions: lookup returns
+            # hwm x margin, so a class whose true need sits below the
+            # static default starts SMALLER (pool width is paid every
+            # chunk in backward/SA-walk lanes and sort keys); an
+            # underestimate costs one overflow retry and re-raises hwm
             updates = {f: v for f, v in learned.items()
-                       if v > getattr(self.seed_cfg, f)}
+                       if v != getattr(self.seed_cfg, f)}
             if updates:
                 self.seed_cfg = _dc_replace(self.seed_cfg, **updates)
 
         while True:
             with self._span("seed_device"):
-                out = fetch(launch(self.seed_cfg))
+                with self._span("seed_launch"):
+                    raw = launch(self.seed_cfg)
+                    # the stacked launch is async; block so launch/fetch
+                    # spans split compute from the D2H transfer
+                    if self.timings is not None and not isinstance(raw,
+                                                                   dict):
+                        raw.block_until_ready()
+                with self._span("seed_fetch"):
+                    out = fetch(raw)
             # per-stage one-jump resize: only the overflowing pools grow
             # (a global multiplier made the backward pass 4x wider for a
             # seed_pool-only overflow — BENCH_BREAKDOWN.md). Each jump
