@@ -21,12 +21,13 @@ import numpy as np
 N_CAP = 4096  # exception-list capacity; above this ship unpacked
 
 
-def pack_reads_host(reads: np.ndarray):
+def pack_reads_host(reads: np.ndarray, lens: np.ndarray):
     """(B, L) int8 codes (pad = 4) -> (words (B, L//16) uint32,
-    npos int32 (N_CAP,) flat indices of in-read code-4 positions or -1,
-    ok bool). L must be a multiple of 16 (bucket_read_len guarantees
-    multiples of 32). Caller falls back to the unpacked upload when not
-    ok."""
+    npos int64 (N_CAP,) flat indices of IN-READ code-4 positions or -1,
+    ok bool). Padding positions (col >= lens[row]) are NOT exceptions —
+    the device unpack reconstructs them from `lens`. L must be a
+    multiple of 16 (bucket_read_len guarantees multiples of 32). Caller
+    falls back to the unpacked upload when not ok."""
     B, L = reads.shape
     if L % 16:
         return None, None, False
@@ -34,7 +35,9 @@ def pack_reads_host(reads: np.ndarray):
     sh = (30 - 2 * np.arange(16, dtype=np.uint32))[None, None, :]
     words = (r.reshape(B, L // 16, 16) << sh).sum(
         axis=2, dtype=np.uint32)
-    flat_n = np.flatnonzero(reads.reshape(-1) > 3)
+    in_read = np.arange(L, dtype=np.int32)[None, :] < \
+        np.asarray(lens).reshape(-1, 1)
+    flat_n = np.flatnonzero((reads > 3) & in_read)
     if flat_n.size > N_CAP:
         return None, None, False
     npos = np.full(N_CAP, -1, np.int64)

@@ -1142,16 +1142,20 @@ def smem_seed_batch_stacked(fm: DeviceFMIndex, reads, lens,
 
     Two formats, chosen statically (the aligner's fetch dispatches on
     row count):
-      * packed (4, P+4) int32 — narrow indexes with B, L < 2^16:
-        [read_id, qbeg<<16|qend, rbeg, n_occ] data rows with the 13 head
-        scalars column-major in the first 4 lanes of each row. Valid
-        slots are a PREFIX (slot < n_seeds; _expand_occurrences emits
-        prefixes), so no valid row rides the tunnel, and ONE prefix
-        slice carries scalars + seeds (the aligner's speculative
-        one-shot fetch). ~40% fewer D2H bytes than the wide format —
-        the tunnel moves ~40 MiB/s (BENCH_BREAKDOWN.md).
-      * wide (7, P) int64 — genomes needing >31-bit rbeg or huge L/B:
-        the original unpacked rows + valid row.
+      * packed v3 (3, P+5) int32 — narrow indexes with B <= 2^15,
+        L < 2^15, max_occ < 2^16:
+        [read_id<<16|min(n_occ,0xFFFF), qbeg<<16|qend, rbeg] data rows
+        with the 15 head scalars column-major in the first 5 lanes of
+        each row. n_occ is only ever COMPARED against max_occ
+        downstream (frac_rep, native/chain.cpp:137-152), so the 16-bit
+        clamp is exact while max_occ < 0xFFFF. Valid slots are a
+        PREFIX (slot < n_seeds; _expand_occurrences emits prefixes),
+        so no valid row rides the tunnel, and ONE prefix slice carries
+        scalars + seeds (the aligner's speculative one-shot fetch).
+        ~57% fewer D2H bytes than the wide format — the tunnel moves
+        ~10-40 MiB/s (BENCH_BREAKDOWN.md).
+      * wide (7, P) int64 — genomes needing >31-bit rbeg or huge
+        L/B/max_occ: the original unpacked rows + valid row.
     """
     out = smem_seed_batch(fm, reads, lens, cfg)
     dt = out["rbeg"].dtype
@@ -1168,14 +1172,15 @@ def smem_seed_batch_stacked(fm: DeviceFMIndex, reads, lens,
         return jax.lax.dynamic_update_slice(
             row, out["needs"].astype(row.dtype), (3 + nf,))
 
-    if dt == jnp.int32 and B <= 0xFFFF and L <= 0x7FFF:
-        # packed v2 (4, P + 4): the 15 head scalars ride COLUMN-MAJOR in
-        # the first 4 lanes of the 4 data rows (scalar j at row j%4,
-        # lane j//4), so a single prefix slice raw[:, :4+nf] carries the
+    if dt == jnp.int32 and B <= 0x8000 and L <= 0x7FFF \
+            and cfg.max_occ < 0xFFFF:
+        # packed v3 (3, P + 5): the 15 head scalars ride COLUMN-MAJOR in
+        # the first 5 lanes of the 3 data rows (scalar j at row j%3,
+        # lane j//3), so a single prefix slice raw[:, :5+nf] carries the
         # scalars AND the first nf seeds with zero wasted rows — the
         # aligner's speculative one-shot prefix fetch depends on this
         # (a separate head row cost either a second tunnel round-trip or
-        # a 25% wider transfer).
+        # a wider transfer).
         nf = out["mults"].shape[0]
         head15 = jnp.stack(
             [out["n_seeds"].astype(jnp.int32),
@@ -1183,17 +1188,15 @@ def smem_seed_batch_stacked(fm: DeviceFMIndex, reads, lens,
              out["over_mult"].astype(jnp.int32)]
             + [out["mults"][i].astype(jnp.int32) for i in range(nf)]
             + [out["needs"][i].astype(jnp.int32) for i in range(nf)])
-        hdr = jnp.concatenate(
-            [head15,
-             jnp.zeros((16 - head15.shape[0],), jnp.int32)]
-        ).reshape(4, 4).T
+        hdr = head15.reshape(5, 3).T
         qpack = (jnp.maximum(out["qbeg"], 0) << 16) | \
             (out["qend"] & 0xFFFF)
+        ridocc = (out["read_id"].astype(jnp.int32) << 16) | \
+            jnp.minimum(out["n_occ"], 0xFFFF).astype(jnp.int32)
         data = jnp.stack([
-            out["read_id"].astype(jnp.int32),
+            ridocc,
             qpack.astype(jnp.int32),
             out["rbeg"].astype(jnp.int32),
-            out["n_occ"].astype(jnp.int32),
         ])
         return jnp.concatenate([hdr, data], axis=1)
     pool = jnp.stack(

@@ -379,7 +379,7 @@ class MemAligner:
         if self.mesh is None:
             from ..ops.readpack import pack_reads_host, unpack_reads
 
-            words, npos, ok = pack_reads_host(reads)
+            words, npos, ok = pack_reads_host(reads, lens)
             if ok:
                 reads_j = unpack_reads(jnp.asarray(words), lens_j,
                                        jnp.asarray(npos), L)
@@ -428,12 +428,13 @@ class MemAligner:
             """Coalesced D2H: ONE stacked pool transfer (head scalars ride
             in the first lanes; see formats below). The smem path
             pre-stacks on device (smem_seed_batch_stacked — packed
-            (4, P+4) int32 on narrow indexes, wide (7, P) otherwise);
+            (3, P+5) int32 on narrow indexes, wide (7, P) otherwise);
             other paths stack here."""
-            if not isinstance(raw, dict) and raw.shape[0] == 4:
-                # packed v2 (4, P+4): head scalars column-major in the
-                # first 4 lanes of each row (see smem_seed_batch_stacked)
-                P = raw.shape[1] - 4
+            if not isinstance(raw, dict) and raw.shape[0] == 3:
+                # packed v3 (3, P+5): head scalars column-major in the
+                # first 5 lanes of each row (see smem_seed_batch_stacked)
+                HD = 5
+                P = raw.shape[1] - HD
                 import os as _os
                 pf_min = int(_os.environ.get(
                     "BWAMEM_TPU_PREFIX_FETCH_MIN", 65536))
@@ -467,22 +468,22 @@ class MemAligner:
                     # to size the second transfer.
                     last_n = self._last_nf.get(P, 0)
                     nf = min(_qprefix(int(last_n * 1.25)), P)
-                    spec = np.asarray(raw[:, :4 + nf] if nf < P else raw)
-                    head = spec[:, :4].T.reshape(-1)[
+                    spec = np.asarray(raw[:, :HD + nf] if nf < P else raw)
+                    head = spec[:, :HD].T.reshape(-1)[
                         :3 + 2 * len(POOL_FIELDS)]
                     n = int(head[0])
                     self._last_nf[P] = n
                     if n <= nf or nf >= P:
-                        pool = spec[:, 4:]
+                        pool = spec[:, HD:]
                     else:  # prediction short: fetch only the delta
                         n2 = min(_qprefix(n), P)
-                        rest = np.asarray(raw[:, 4 + nf:4 + n2])
-                        pool = np.concatenate([spec[:, 4:], rest], axis=1)
+                        rest = np.asarray(raw[:, HD + nf:HD + n2])
+                        pool = np.concatenate([spec[:, HD:], rest], axis=1)
                 else:
                     full = np.asarray(raw)  # packed, single D2H
-                    head = full[:, :4].T.reshape(-1)[
+                    head = full[:, :HD].T.reshape(-1)[
                         :3 + 2 * len(POOL_FIELDS)]
-                    pool = full[:, 4:]
+                    pool = full[:, HD:]
                     n = int(head[0])
                     self._last_nf[P] = n
                 F = len(POOL_FIELDS)
@@ -490,9 +491,12 @@ class MemAligner:
                          for i, f in enumerate(POOL_FIELDS)}
                 needs = {f: int(head[3 + F + i])
                          for i, f in enumerate(POOL_FIELDS)}
+                u0 = pool[0].astype(np.uint32)
                 return dict(
-                    read_id=pool[0], qbeg=pool[1] >> 16,
-                    qend=pool[1] & 0xFFFF, rbeg=pool[2], n_occ=pool[3],
+                    read_id=(u0 >> 16).astype(np.int32),
+                    qbeg=pool[1] >> 16,
+                    qend=pool[1] & 0xFFFF, rbeg=pool[2],
+                    n_occ=(u0 & 0xFFFF).astype(np.int32),
                     valid=np.arange(pool.shape[1]) < n,
                     n_seeds=head[0], overflow=head[1] > 0,
                     over_mult=max(int(head[2]), 1), mults=mults,

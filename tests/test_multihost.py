@@ -121,22 +121,25 @@ def test_multihost_se_parity(fixture_dir, world):
         assert not (d / f"{out.name}.shard{r}").exists()  # shards cleaned
 
 
-@pytest.mark.parametrize("world", [2, 4])
-def test_multihost_pe_parity_fixed_insert(fixture_dir, world):
+@pytest.mark.parametrize("world,chips", [(2, 1), (4, 1), (2, 2)])
+def test_multihost_pe_parity_fixed_insert(fixture_dir, world, chips):
     """PE with -I (fixed insert model): per-host pestat re-estimation is
     vanilla per-chunk semantics but would differ from the single-host
     chunking, so parity is pinned under the fixed model. world=4 checks
     the pair-aligned (granularity=2) range math beyond 2 ways — 24
-    pairs over 4 hosts leaves uneven shards."""
+    pairs over 4 hosts leaves uneven shards. The (2, 2) cell runs each
+    host over a 2-device mesh so pairs cross multihost sharding AND
+    shard_map in the same run."""
     d = fixture_dir
     base = [str(d / "idx"), str(d / "r1.fq"), str(d / "r2.fq"),
             "-I", "300,30"]
-    out = d / f"mh_pe_{world}.sam"
+    out = d / f"mh_pe_{world}_{chips}.sam"
     p = _align(base, d / "ref_pe.sam")
     assert p.wait(900) == 0, p.stderr.read()[-800:]
+    chip_args = ["--n-chips", str(chips)] if chips > 1 else []
     procs = [
-        _align(base + ["--n-hosts", str(world), "--host-id", str(r)],
-               out)
+        _align(base + ["--n-hosts", str(world), "--host-id", str(r)]
+               + chip_args, out)
         for r in range(world)
     ]
     for p in procs:

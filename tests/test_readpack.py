@@ -16,7 +16,7 @@ def test_roundtrip_with_ns_and_padding():
         if n and i % 3 == 0:  # in-read Ns
             reads[i, rng.integers(0, n)] = 4
         lens[i] = n
-    words, npos, ok = pack_reads_host(reads)
+    words, npos, ok = pack_reads_host(reads, lens)
     assert ok
     out = np.asarray(unpack_reads(jnp.asarray(words), jnp.asarray(lens),
                                   jnp.asarray(npos), L))
@@ -24,10 +24,25 @@ def test_roundtrip_with_ns_and_padding():
 
 
 def test_overflow_falls_back():
-    reads = np.full((64, 96), 4, np.int8)  # pad-only is fine...
-    lens = np.full(64, 96, np.int32)       # ...but all-N in-read overflows
-    words, npos, ok = pack_reads_host(reads)
+    reads = np.full((64, 96), 4, np.int8)
+    lens = np.full(64, 96, np.int32)   # all-N IN-READ overflows
+    words, npos, ok = pack_reads_host(reads, lens)
     assert not ok  # 6144 in-read Ns > N_CAP
+
+
+def test_padding_not_exceptions():
+    """Product shapes: heavy padding must not overflow the N list."""
+    reads = np.full((16384, 160), 4, np.int8)
+    lens = np.full(16384, 150, np.int32)
+    reads[:, :150] = 1
+    reads[7, 3] = 4  # one real in-read N
+    words, npos, ok = pack_reads_host(reads, lens)
+    assert ok and int((npos >= 0).sum()) == 1
+    import jax.numpy as jnp
+    from bwamem_tpu.ops.readpack import unpack_reads
+    out = np.asarray(unpack_reads(jnp.asarray(words), jnp.asarray(lens),
+                                  jnp.asarray(npos), 160))
+    np.testing.assert_array_equal(out, reads)
 
 
 def test_aligner_path_unchanged():
