@@ -51,8 +51,12 @@ def _quant(x: float) -> int:
 
 
 # start size = high-water per-read need x this margin (one overflow
-# retry self-corrects an underestimate and raises the stored hwm)
-_HWM_MARGIN = 1.5
+# retry self-corrects an underestimate and raises the stored hwm).
+# 1.2: the hwm is already a MAX over every chunk seen for the class,
+# and pool width is paid every chunk in backward-walk lanes (the
+# round-2 walk over B*r2_cand lanes is the largest seeding stage —
+# BENCH_BREAKDOWN round-5 correction)
+_HWM_MARGIN = 1.2
 
 
 class PoolStore:

@@ -60,6 +60,25 @@ def build_world(gbp: float, sa_intv: int, cache: str):
         print(f"[gbp] cached codes+index loaded in {rep['index_load_s']}s",
               flush=True)
         return g, idx, rep
+    if os.path.exists(codes_cache):
+        # codes cached but this sa_intv's index isn't (the A/B case):
+        # skip the ~6-15 min pure-Python genome regeneration
+        g = np.load(codes_cache, mmap_mode="r")
+        names = [f"gbp{i}" for i in range(2)]
+        half = len(g) // 2
+        lengths, offsets = [half, len(g) - half], [0, half]
+        from bwamem_tpu.index.build import build_index_from_codes
+
+        ann = Annotation(names=names, lengths=lengths, offsets=offsets)
+        t0 = time.perf_counter()
+        idx = build_index_from_codes(np.asarray(g), ann, sa_intv=sa_intv)
+        rep["index_build_s"] = round(time.perf_counter() - t0, 1)
+        rep["rss_after_build_gb"] = round(_rss_gb(), 2)
+        t0 = time.perf_counter()
+        idx.save(cache)
+        rep["index_save_s"] = round(time.perf_counter() - t0, 1)
+        rep["index_file_gb"] = round(os.path.getsize(cache) / 1e9, 2)
+        return g, idx, rep
 
     t0 = time.perf_counter()
     # repeat density ~1 SINE / 2 kb: repeat-rich enough to stress
