@@ -85,6 +85,16 @@ class SeedConfig:
     #                        work per base — LOSES on the throughput-bound
     #                        chip (BENCH_BREAKDOWN.md); kept for A/B and
     #                        latency-bound backends
+    # round-2 backward-walk staged-compaction schedule ((trip, divisor)
+    # pairs; see the bwdecay-fit comment at the call site). A tighter
+    # schedule that undershoots a stage's survivor count is SAFE — the
+    # staged compactor falls back to the full-width path for that stage
+    # (lax.cond on n_alive > cap) — it just wastes the compaction.
+    # Same-session chip A/B at B=16k (identical output checksums):
+    # ((4,2),(8,2),(12,4),(16,4)) 516 ms; ((3,2),(6,2),(10,4),(16,4))
+    # 508; ((2,2),(5,4),(8,8),(12,16),(16,16)) 503 (over-compacts ->
+    # full-width fallback); winner below 466 ms.
+    r2_schedule: tuple = ((3, 2), (6, 4), (9, 8), (12, 8), (16, 8))
     text_walk: bool | None = None  # unique-suffix (s==1) lanes retire to
     #                        direct text comparison. Measured on chip at
     #                        L=150/B=16k: a 2.5x LOSS (597 vs 234 ms —
@@ -1309,8 +1319,7 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         # ran half-width — measured 267 ms of a 495 ms program).
         kw2 = ({} if bw2 is _backward_pass2
                else dict(fixed_trips=16,
-                         compact_schedule=((4, 2), (8, 2), (12, 4),
-                                           (16, 4))))
+                         compact_schedule=cfg.r2_schedule))
         qb2, k2e, s2e, rdir2 = bw2(fm, reads, rid2, x2, k2, s2, v2,
                                    floor=floor2, group=lane2,
                                    text_walk=False, **kw2)
