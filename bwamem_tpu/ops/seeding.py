@@ -95,6 +95,9 @@ class SeedConfig:
     # 508; ((2,2),(5,4),(8,8),(12,16),(16,16)) 503 (over-compacts ->
     # full-width fallback); winner below 466 ms.
     r2_schedule: tuple = ((3, 2), (6, 4), (9, 8), (12, 8), (16, 8))
+    # round-1 walk schedule (floor-1 walks live longer: alive 46% @6
+    # trips, 5% @12 on the bench simgenome — the defaults hug that)
+    r1_schedule: tuple = ((6, 2), (12, 4), (16, 8))
     text_walk: bool | None = None  # unique-suffix (s==1) lanes retire to
     #                        direct text comparison. Measured on chip at
     #                        L=150/B=16k: a 2.5x LOSS (597 vs 234 ms —
@@ -1262,8 +1265,10 @@ def smem_seed_batch(fm: DeviceFMIndex, reads, lens,
         bw = (_backward_pass2 if fm.has_occ2 and cfg.pair_backward
               else _backward_pass)
         tw = cfg.text_walk if cfg.text_walk is not None else (L >= 384)
+        kw1 = ({} if bw is _backward_pass2
+               else dict(compact_schedule=cfg.r1_schedule))
         qbeg, k, s, rdir = bw(fm, reads, rid, start, k, s, valid,
-                              text_walk=tw)
+                              text_walk=tw, **kw1)
         if cfg.mode == "mem":
             keep = _dup_filter(qbeg, rid, s, valid, end, cfg.min_seed_len)
         else:
