@@ -189,11 +189,12 @@ def _make_kernel(QP, TMAX, a, b, o_del, e_del, o_ins, e_ins, w, zdrop,
             if zdrop > 0:
                 di = i - (tle - 1)
                 dj = (mj - 1) - (qle - 1)
-                zd = jnp.where(
-                    di > dj,
-                    best - rowmax - (di - dj) * e_del > zdrop,
-                    best - rowmax - (dj - di) * e_ins > zdrop,
-                )
+                # int32-valued select, compared after: a bool-valued
+                # where lowers through an i8 vector and Mosaic rejects
+                # the i8->i1 trunci on this target
+                zgap = jnp.where(di > dj, (di - dj) * e_del,
+                                 (dj - di) * e_ins)
+                zd = best - rowmax - zgap > zdrop
                 dead = jnp.logical_or(
                     dead,
                     jnp.logical_and(
